@@ -1,0 +1,292 @@
+"""Configuration system.
+
+Frozen dataclasses (hashable → usable as jit static args) plus a YAML loader
+that preserves the reference's configuration surface: paired
+``vilbert_<variant>`` / ``training_<variant>`` namespaces with fallback to the
+default ``vilbert`` / ``training`` blocks
+(reference: conf/base/parameters.yml + settings.py:27-38 OmegaConfigLoader,
+selection convention in pipelines/model_training/nodes.py:214,720-723).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+
+import yaml
+
+
+# ---------------------------------------------------------------------------
+# Model configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ViLBERTConfig:
+    """Two-stream ViLBERT configuration.
+
+    Defaults reproduce Facebook's asymmetric architecture — the one behind
+    every headline number in the reference
+    (reference: models/vilbert_facebook_arch.py:35-60 get_facebook_vilbert_config).
+    Text stream: 12 layers × 768 dim × 12 heads. Visual stream: 6 layers ×
+    1024 dim × 8 heads. Cross-modal bi-attention in a 1024-d bi-space applied
+    after text layers (1,3,5,7,9,11) (vilbert_facebook_arch.py:457).
+    """
+
+    # Text (BERT) stream
+    hidden_size: int = 768
+    num_attention_heads: int = 12
+    num_hidden_layers: int = 12
+    intermediate_size: int = 3072
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    vocab_size: int = 30522
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+
+    # Visual stream
+    v_hidden_size: int = 1024
+    v_num_attention_heads: int = 8
+    v_num_hidden_layers: int = 6
+    v_intermediate_size: int = 1024
+    v_hidden_dropout_prob: float = 0.1
+    v_attention_probs_dropout_prob: float = 0.1
+
+    # Co-attention
+    bi_hidden_size: int = 1024
+    bi_num_attention_heads: int = 8
+    co_attention_text_layers: Tuple[int, ...] = (1, 3, 5, 7, 9, 11)
+
+    # Visual input interface (all extractors emit [N, 2048] + [N, 5])
+    v_feature_size: int = 2048
+    v_loc_size: int = 5
+    # Whether visual embeddings add a learned per-region position embedding
+    # (the 768-d core variant does — vilbert_core.py:419-480; FB arch does not)
+    v_use_position_embeddings: bool = False
+
+    # Classification head
+    num_labels: int = 2
+    classifier_hidden_size: int = 1024
+    classifier_dropout: float = 0.1
+    # "cls" = first-token poolers (FB arch); "cls_mean" = [CLS]+mean-pool (core)
+    pooling: str = "cls"
+
+    # Numerics: params fp32, activations bfloat16 on the MXU
+    dtype: str = "bfloat16"
+    # Use the fused Pallas attention path when on TPU
+    use_pallas_attention: bool = True
+    # Rematerialise encoder layers to trade FLOPs for HBM
+    remat: bool = False
+
+    @property
+    def bi_head_dim(self) -> int:
+        return self.bi_hidden_size // self.bi_num_attention_heads
+
+
+def facebook_vilbert_config(**overrides: Any) -> ViLBERTConfig:
+    """The exact config of reference models/vilbert_facebook_arch.py:35-60."""
+    return ViLBERTConfig(**overrides)
+
+
+def core_vilbert_config(**overrides: Any) -> ViLBERTConfig:
+    """Symmetric 768-d variant (reference: models/vilbert_core.py:668-688):
+    both streams 768-d, co-attention after every 2nd text layer, [CLS]+mean
+    pooling head, learned visual position embeddings."""
+    base = dict(
+        v_hidden_size=768,
+        v_num_attention_heads=12,
+        v_num_hidden_layers=6,
+        v_intermediate_size=3072,
+        bi_hidden_size=768,
+        bi_num_attention_heads=12,
+        classifier_hidden_size=512,
+        pooling="cls_mean",
+        v_use_position_embeddings=True,
+    )
+    base.update(overrides)
+    return ViLBERTConfig(**base)
+
+
+def tiny_vilbert_config(**overrides: Any) -> ViLBERTConfig:
+    """Small config for tests/CI: same topology, tiny dims."""
+    base = dict(
+        hidden_size=64,
+        num_attention_heads=4,
+        num_hidden_layers=4,
+        intermediate_size=128,
+        vocab_size=512,
+        max_position_embeddings=64,
+        v_hidden_size=96,
+        v_num_attention_heads=4,
+        v_num_hidden_layers=2,
+        v_intermediate_size=96,
+        bi_hidden_size=96,
+        bi_num_attention_heads=4,
+        co_attention_text_layers=(1, 3),
+        v_feature_size=128,
+        classifier_hidden_size=64,
+    )
+    base.update(overrides)
+    return ViLBERTConfig(**base)
+
+
+# ---------------------------------------------------------------------------
+# Training / data configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TrainingConfig:
+    """Optimizer/loop hyperparameters (reference: conf/base/parameters.yml:40-65)."""
+
+    batch_size: int = 32
+    num_epochs: int = 20
+    learning_rate: float = 1e-5
+    weight_decay: float = 0.01
+    warmup_steps: int = 2000
+    early_stopping_patience: int = 5
+    gradient_clip: float = 1.0
+    loss_type: str = "ce"  # ce | focal | label_smoothing | focal_smoothing | weighted
+    focal_alpha: float = 0.35
+    focal_gamma: float = 2.0
+    label_smoothing: float = 0.0
+    class_weights: Optional[Tuple[float, ...]] = None
+    use_linear_decay: bool = True
+    seed: int = 42
+    # TPU-native additions (no reference counterpart — see SURVEY.md §2.7):
+    # data-parallel × model-parallel mesh, remat, grad accumulation.
+    mesh_shape: Tuple[int, ...] = (-1, 1)  # (dp, mp); -1 = all remaining devices
+    mesh_axis_names: Tuple[str, ...] = ("dp", "mp")
+    grad_accum_steps: int = 1
+    log_every_steps: int = 50
+    checkpoint_dir: str = "data/05_model_output"
+    keep_checkpoints: int = 3
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data/preprocessing parameters (reference: parameters.yml vilbert_* blocks)."""
+
+    max_seq_length: int = 128
+    max_regions: int = 36
+    visual_feature_dim: int = 2048
+    image_size: int = 224
+    feature_extractor: str = "resnet"
+    extractor_kwargs: Mapping[str, Any] = field(default_factory=dict)
+    tokenizer_vocab: Optional[str] = None  # path to vocab.txt; None = bundled/HF cache
+    lowercase: bool = True
+    num_workers: int = 2  # host prefetch threads (reference forces 0 everywhere)
+    prefetch_depth: int = 2  # double-buffered device feed
+    shuffle_seed: int = 42
+    # dataset source paths
+    lmdb_path: Optional[str] = None
+    hdf5_features_path: Optional[str] = None
+    data_dir: str = "data/01_raw/hateful_memes"
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """One experiment = model + training + data, like a paired
+    vilbert_<variant>/training_<variant> namespace in the reference."""
+
+    name: str = "vilbert"
+    model: ViLBERTConfig = field(default_factory=ViLBERTConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    freeze_bert_layers: int = 0
+    pretrained_checkpoint: Optional[str] = None
+    output_dir: str = "data/05_model_output"
+
+
+# ---------------------------------------------------------------------------
+# YAML parameter loading (reference parameters.yml surface)
+# ---------------------------------------------------------------------------
+
+_MODEL_KEYS = {f.name for f in dataclasses.fields(ViLBERTConfig)}
+_TRAIN_KEYS = {f.name for f in dataclasses.fields(TrainingConfig)}
+_DATA_KEYS = {f.name for f in dataclasses.fields(DataConfig)}
+
+
+def _filter(d: Mapping[str, Any], keys) -> Dict[str, Any]:
+    out = {}
+    for k, v in d.items():
+        if k in keys:
+            if isinstance(v, list):
+                v = tuple(v)
+            out[k] = v
+    return out
+
+
+def load_parameters(*paths: str) -> Dict[str, Any]:
+    """Load and shallow-merge YAML parameter files (later paths override —
+    mirrors the reference's base/local config environments, settings.py:27-38)."""
+    params: Dict[str, Any] = {}
+    for p in paths:
+        if p and os.path.exists(p):
+            with open(p) as f:
+                loaded = yaml.safe_load(f) or {}
+            for k, v in loaded.items():
+                if isinstance(v, dict) and isinstance(params.get(k), dict):
+                    params[k] = {**params[k], **v}
+                else:
+                    params[k] = v
+    return params
+
+
+def experiment_from_parameters(
+    params: Mapping[str, Any], variant: str = ""
+) -> ExperimentConfig:
+    """Build an ExperimentConfig from a parameters dict.
+
+    ``variant=""`` reads the default ``vilbert``/``training`` blocks;
+    ``variant="lmdb"`` reads ``vilbert_lmdb``/``training_lmdb`` with fallback
+    to the defaults — the exact selection convention of the reference
+    (nodes.py:214 config_key, :720-723 training params fallback).
+    """
+    suffix = f"_{variant}" if variant else ""
+    model_block = dict(params.get("vilbert", {}) or {})
+    model_block.update(params.get(f"vilbert{suffix}", {}) or {})
+    train_block = dict(params.get("training", {}) or {})
+    train_block.update(params.get(f"training{suffix}", {}) or {})
+    data_proc = dict(params.get("data_processing", {}) or {})
+
+    arch = model_block.get("arch", "facebook")
+    model_kwargs = _filter(model_block, _MODEL_KEYS)
+    model_cfg = (
+        core_vilbert_config(**model_kwargs)
+        if arch == "core"
+        else facebook_vilbert_config(**model_kwargs)
+    )
+
+    train_kwargs = _filter(train_block, _TRAIN_KEYS)
+    if "random_seed" in data_proc:
+        train_kwargs.setdefault("seed", data_proc["random_seed"])
+    train_cfg = TrainingConfig(**train_kwargs)
+
+    data_kwargs = _filter({**data_proc, **model_block}, _DATA_KEYS)
+    ex_kw = model_block.get("extractor_kwargs")
+    if ex_kw:
+        data_kwargs["extractor_kwargs"] = dict(ex_kw)
+    data_cfg = DataConfig(**data_kwargs)
+
+    return ExperimentConfig(
+        name=f"vilbert{suffix}" if suffix else "vilbert",
+        model=model_cfg,
+        training=train_cfg,
+        data=data_cfg,
+        freeze_bert_layers=int(model_block.get("freeze_bert_layers", 0) or 0),
+        pretrained_checkpoint=model_block.get("pretrained_checkpoint")
+        or model_block.get("checkpoint_path"),
+        output_dir=model_block.get("output_dir", "data/05_model_output"),
+    )
+
+
+def default_parameter_paths(root: str = ".") -> Tuple[str, str]:
+    """(base, local) parameter file paths, matching the reference's conf tree."""
+    return (
+        os.path.join(root, "conf", "base", "parameters.yml"),
+        os.path.join(root, "conf", "local", "parameters.yml"),
+    )
