@@ -127,7 +127,7 @@ def tiny_vilbert_config(**overrides: Any) -> ViLBERTConfig:
         bi_num_attention_heads=4,
         co_attention_text_layers=(1, 3),
         v_feature_size=128,
-        classifier_hidden_size=64,
+        classifier_hidden_size=96,  # == bi_hidden_size, as in the FB arch head
     )
     base.update(overrides)
     return ViLBERTConfig(**base)

@@ -1,0 +1,10 @@
+"""Model layer: two-stream ViLBERT architectures + registry entries."""
+
+from multimodal_classification_tpu.models import vilbert as vilbert  # noqa: F401
+from multimodal_classification_tpu.models.vilbert import (  # noqa: F401
+    ViLBERTEncoder,
+    ViLBERTForClassification,
+    ViLBERTModel,
+    dummy_batch,
+    init_params,
+)

@@ -1,0 +1,184 @@
+"""Checkpoint conversion: PyTorch ViLBERT state dicts → Flax param pytrees.
+
+Replaces the reference's fuzzy key-remapping loaders
+(reference: vilbert_facebook_arch.py:644-683 load_facebook_weights,
+vilbert_hf.py:166-201, vilbert_facebook.py:160-211) with an explicit,
+shape-checked mapping. Handles the Facebook-exact asymmetric layout
+(bert.encoder.{layer,v_layer,c_layer}.* with biattention/biOutput naming,
+documented at vilbert_facebook_arch.py:7-21) and Facebook's original
+pretraining checkpoints (``bert.*`` weights, ``cls.*`` heads skipped).
+
+Conventions: torch Linear weight [out,in] → flax kernel [in,out] (transpose);
+LayerNorm weight → scale; Embedding weight → embedding.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+from multimodal_classification_tpu.config import ViLBERTConfig
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor (cpu) without importing torch at module scope
+    return t.detach().cpu().numpy()
+
+
+def _set(tree: Dict[str, Any], path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _linear(tree, prefix: Tuple[str, ...], sd, key: str):
+    _set(tree, prefix + ("kernel",), _np(sd[key + ".weight"]).T)
+    _set(tree, prefix + ("bias",), _np(sd[key + ".bias"]))
+
+
+def _layernorm(tree, prefix: Tuple[str, ...], sd, key: str):
+    _set(tree, prefix + ("scale",), _np(sd[key + ".weight"]))
+    _set(tree, prefix + ("bias",), _np(sd[key + ".bias"]))
+
+
+def _embed(tree, prefix: Tuple[str, ...], sd, key: str):
+    _set(tree, prefix + ("embedding",), _np(sd[key + ".weight"]))
+
+
+def _bert_layer(tree, flax_prefix: Tuple[str, ...], sd, torch_prefix: str):
+    for qkv in ("query", "key", "value"):
+        _linear(tree, flax_prefix + ("attention", qkv), sd, f"{torch_prefix}.attention.self.{qkv}")
+    _linear(tree, flax_prefix + ("attention_output", "dense"), sd, f"{torch_prefix}.attention.output.dense")
+    _layernorm(tree, flax_prefix + ("attention_output", "LayerNorm"), sd, f"{torch_prefix}.attention.output.LayerNorm")
+    _linear(tree, flax_prefix + ("intermediate", "dense"), sd, f"{torch_prefix}.intermediate.dense")
+    _linear(tree, flax_prefix + ("output", "dense"), sd, f"{torch_prefix}.output.dense")
+    _layernorm(tree, flax_prefix + ("output", "LayerNorm"), sd, f"{torch_prefix}.output.LayerNorm")
+
+
+def convert_facebook_vilbert(
+    state_dict: Mapping[str, Any],
+    cfg: ViLBERTConfig,
+    strict_head: bool = False,
+) -> Dict[str, Any]:
+    """Convert a Facebook-arch ViLBERT torch state dict to flax params.
+
+    Accepts both the reference's fine-tuned classifier checkpoints
+    (with ``classifier.1``/``classifier.4``) and Facebook's pretraining
+    checkpoints (no classifier; ``cls.*`` heads are skipped). Missing head
+    params are left absent — merge over freshly-initialised params with
+    :func:`merge_params`.
+    """
+    sd = {k: v for k, v in state_dict.items() if not k.startswith("cls.")}
+    p: Dict[str, Any] = {}
+
+    # Embeddings
+    for name in ("word_embeddings", "position_embeddings", "token_type_embeddings"):
+        _embed(p, ("bert", "embeddings", name), sd, f"bert.embeddings.{name}")
+    _layernorm(p, ("bert", "embeddings", "LayerNorm"), sd, "bert.embeddings.LayerNorm")
+
+    _linear(p, ("bert", "v_embeddings", "image_embeddings"), sd, "bert.v_embeddings.image_embeddings")
+    _linear(
+        p, ("bert", "v_embeddings", "image_location_embeddings"), sd,
+        "bert.v_embeddings.image_location_embeddings",
+    )
+    _layernorm(p, ("bert", "v_embeddings", "LayerNorm"), sd, "bert.v_embeddings.LayerNorm")
+
+    # Encoder streams
+    for i in range(cfg.num_hidden_layers):
+        _bert_layer(p, ("bert", "encoder", f"layer_{i}"), sd, f"bert.encoder.layer.{i}")
+    for i in range(cfg.v_num_hidden_layers):
+        _bert_layer(p, ("bert", "encoder", f"v_layer_{i}"), sd, f"bert.encoder.v_layer.{i}")
+
+    # Co-attention layers (shared bi-space projections; biOutput.q_dense1/
+    # q_dense2 exist in checkpoints but are dead params — never applied in the
+    # reference forward (vilbert_facebook_arch.py:324-338) — so skipped)
+    for i in range(len(cfg.co_attention_text_layers)):
+        base = f"bert.encoder.c_layer.{i}"
+        cl = ("bert", "encoder", f"c_layer_{i}")
+        for proj in ("query1", "key1", "value1", "query2", "key2", "value2"):
+            _linear(p, cl + (proj,), sd, f"{base}.biattention.{proj}")
+        _linear(p, cl + ("v_output_attn", "dense"), sd, f"{base}.biOutput.dense1")
+        _layernorm(p, cl + ("v_output_attn", "LayerNorm"), sd, f"{base}.biOutput.LayerNorm1")
+        _linear(p, cl + ("t_output_attn", "dense"), sd, f"{base}.biOutput.dense2")
+        _layernorm(p, cl + ("t_output_attn", "LayerNorm"), sd, f"{base}.biOutput.LayerNorm2")
+        _linear(p, cl + ("v_intermediate", "dense"), sd, f"{base}.v_intermediate.dense")
+        _linear(p, cl + ("v_output", "dense"), sd, f"{base}.v_output.dense")
+        _layernorm(p, cl + ("v_output", "LayerNorm"), sd, f"{base}.v_output.LayerNorm")
+        _linear(p, cl + ("t_intermediate", "dense"), sd, f"{base}.t_intermediate.dense")
+        _linear(p, cl + ("t_output", "dense"), sd, f"{base}.t_output.dense")
+        _layernorm(p, cl + ("t_output", "LayerNorm"), sd, f"{base}.t_output.LayerNorm")
+
+    # Poolers
+    _linear(p, ("bert", "t_pooler", "dense"), sd, "bert.t_pooler.dense")
+    _linear(p, ("bert", "v_pooler", "dense"), sd, "bert.v_pooler.dense")
+
+    # Classifier head (Sequential: 0 Dropout, 1 Linear, 2 ReLU, 3 Dropout, 4 Linear
+    # — vilbert_facebook_arch.py:570-578)
+    if "classifier.1.weight" in sd:
+        _linear(p, ("classifier_dense",), sd, "classifier.1")
+        _linear(p, ("classifier_out",), sd, "classifier.4")
+    elif strict_head:
+        raise KeyError("checkpoint has no classifier head (classifier.1.weight)")
+
+    return p
+
+
+def merge_params(
+    init_params: Mapping[str, Any], loaded: Mapping[str, Any]
+) -> Tuple[Dict[str, Any], int, int]:
+    """Overlay ``loaded`` onto ``init_params`` with shape checking.
+
+    Returns (merged, n_loaded, n_total_leaves). Leaves present in init but
+    absent from loaded keep their fresh initialisation (e.g. classifier head
+    when starting from a pretraining checkpoint).
+    """
+    import jax
+
+    n_loaded = 0
+    n_total = 0
+
+    def merge(a, b, path=""):
+        nonlocal n_loaded, n_total
+        out = {}
+        for k, v in a.items():
+            sub = f"{path}/{k}"
+            if isinstance(v, Mapping):
+                out[k] = merge(v, b.get(k, {}) if isinstance(b, Mapping) else {}, sub)
+            else:
+                n_total += 1
+                bv = b.get(k) if isinstance(b, Mapping) else None
+                if bv is not None:
+                    if tuple(bv.shape) != tuple(v.shape):
+                        raise ValueError(
+                            f"shape mismatch at {sub}: ckpt {bv.shape} vs model {v.shape}"
+                        )
+                    out[k] = np.asarray(bv, dtype=np.float32)
+                    n_loaded += 1
+                else:
+                    out[k] = v
+        return out
+
+    merged = merge(dict(init_params), dict(loaded))
+    return merged, n_loaded, n_total
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a .pt/.bin torch checkpoint to a {key: np.ndarray} dict.
+
+    Accepts both raw state dicts and the reference's ``save_model`` format
+    ``{"model_state_dict": ..., "metrics": ...}`` (nodes.py:953-964)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]
+    if isinstance(obj, dict) and "state_dict" in obj and not any(
+        k.startswith("bert.") for k in obj
+    ):
+        obj = obj["state_dict"]
+    return {k: _np(v) for k, v in obj.items() if hasattr(v, "shape")}

@@ -1,0 +1,243 @@
+"""Transformer building blocks (Flax), BERT-exact semantics.
+
+Pure-functional re-design of the reference's torch blocks
+(reference: models/vilbert_core.py:25-330, models/vilbert_facebook_arch.py:110-408):
+post-LayerNorm residual blocks, erf-GELU, LayerNorm eps 1e-12, truncated
+normal(0.02) init. Params stay float32; matmuls run in the configured compute
+dtype (bfloat16 on the MXU); LayerNorm/softmax accumulate in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multimodal_classification_tpu.ops.attention import (
+    attention_core,
+    merge_heads,
+    split_heads,
+)
+
+DEFAULT_INIT = nn.initializers.normal(stddev=0.02)
+
+
+def make_dense(features: int, dtype, name: Optional[str] = None) -> nn.Dense:
+    return nn.Dense(
+        features,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=DEFAULT_INIT,
+        name=name,
+    )
+
+
+def make_layernorm(name: Optional[str] = None) -> nn.LayerNorm:
+    # fp32 LayerNorm regardless of activation dtype (reference eps: 1e-12,
+    # vilbert_facebook_arch.py:63-77 BertLayerNorm)
+    return nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, param_dtype=jnp.float32, name=name)
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention projections + core
+    (reference: vilbert_core.py:41-89 BertSelfAttention)."""
+
+    hidden_size: int
+    num_heads: int
+    dropout_rate: float
+    dtype: jnp.dtype = jnp.bfloat16
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, hidden, bias, deterministic: bool):
+        q = make_dense(self.hidden_size, self.dtype, "query")(hidden)
+        k = make_dense(self.hidden_size, self.dtype, "key")(hidden)
+        v = make_dense(self.hidden_size, self.dtype, "value")(hidden)
+        rng = None
+        rate = 0.0
+        if not deterministic and self.dropout_rate > 0.0:
+            rng = self.make_rng("dropout")
+            rate = self.dropout_rate
+        ctx = attention_core(
+            split_heads(q, self.num_heads),
+            split_heads(k, self.num_heads),
+            split_heads(v, self.num_heads),
+            bias,
+            dropout_rate=rate,
+            dropout_rng=rng,
+            impl=self.attention_impl,
+        )
+        return merge_heads(ctx)
+
+
+class CrossAttention(nn.Module):
+    """Q from one stream, K/V from the other
+    (reference: vilbert_core.py:91-145 BertCoAttention)."""
+
+    hidden_size: int
+    num_heads: int
+    dropout_rate: float
+    dtype: jnp.dtype = jnp.bfloat16
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, query_stream, kv_stream, kv_bias, deterministic: bool):
+        q = make_dense(self.hidden_size, self.dtype, "query")(query_stream)
+        k = make_dense(self.hidden_size, self.dtype, "key")(kv_stream)
+        v = make_dense(self.hidden_size, self.dtype, "value")(kv_stream)
+        rng = None
+        rate = 0.0
+        if not deterministic and self.dropout_rate > 0.0:
+            rng = self.make_rng("dropout")
+            rate = self.dropout_rate
+        ctx = attention_core(
+            split_heads(q, self.num_heads),
+            split_heads(k, self.num_heads),
+            split_heads(v, self.num_heads),
+            kv_bias,
+            dropout_rate=rate,
+            dropout_rng=rng,
+            impl=self.attention_impl,
+        )
+        return merge_heads(ctx)
+
+
+class ResidualOutput(nn.Module):
+    """dense → dropout → LayerNorm(x + residual)
+    (reference: BertSelfOutput/BertOutput, vilbert_core.py:148-201)."""
+
+    hidden_size: int
+    dropout_rate: float
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, hidden, residual, deterministic: bool):
+        h = make_dense(self.hidden_size, self.dtype, "dense")(hidden)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        out = make_layernorm("LayerNorm")(h.astype(jnp.float32) + residual.astype(jnp.float32))
+        return out.astype(self.dtype)
+
+
+class Intermediate(nn.Module):
+    """dense → erf-GELU (reference: BertIntermediate, vilbert_core.py:167-181)."""
+
+    intermediate_size: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, hidden):
+        h = make_dense(self.intermediate_size, self.dtype, "dense")(hidden)
+        return nn.gelu(h, approximate=False)
+
+
+class TransformerLayer(nn.Module):
+    """Post-LN BERT layer: self-attn + FFN (reference: BertLayer)."""
+
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    hidden_dropout: float
+    attention_dropout: float
+    dtype: jnp.dtype = jnp.bfloat16
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, hidden, bias, deterministic: bool):
+        attn_ctx = SelfAttention(
+            self.hidden_size,
+            self.num_heads,
+            self.attention_dropout,
+            self.dtype,
+            self.attention_impl,
+            name="attention",
+        )(hidden, bias, deterministic)
+        attn_out = ResidualOutput(
+            self.hidden_size, self.hidden_dropout, self.dtype, name="attention_output"
+        )(attn_ctx, hidden, deterministic)
+        inter = Intermediate(self.intermediate_size, self.dtype, name="intermediate")(attn_out)
+        return ResidualOutput(
+            self.hidden_size, self.hidden_dropout, self.dtype, name="output"
+        )(inter, attn_out, deterministic)
+
+
+class TextEmbeddings(nn.Module):
+    """BERT word + position + token-type embeddings
+    (the reference takes these from HF BertModel — vilbert_facebook_arch.py:494-505;
+    implemented natively here, loadable from a converted BERT checkpoint)."""
+
+    vocab_size: int
+    hidden_size: int
+    max_position_embeddings: int
+    type_vocab_size: int
+    dropout_rate: float
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids, deterministic: bool):
+        emb = nn.Embed(
+            self.vocab_size, self.hidden_size, param_dtype=jnp.float32,
+            embedding_init=DEFAULT_INIT, name="word_embeddings",
+        )(input_ids)
+        seq = input_ids.shape[-1]
+        pos_ids = jnp.arange(seq)[None, :]
+        pos = nn.Embed(
+            self.max_position_embeddings, self.hidden_size, param_dtype=jnp.float32,
+            embedding_init=DEFAULT_INIT, name="position_embeddings",
+        )(pos_ids)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        typ = nn.Embed(
+            self.type_vocab_size, self.hidden_size, param_dtype=jnp.float32,
+            embedding_init=DEFAULT_INIT, name="token_type_embeddings",
+        )(token_type_ids)
+        h = make_layernorm("LayerNorm")(emb + pos + typ)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return h.astype(self.dtype)
+
+
+class VisualEmbeddings(nn.Module):
+    """Region features [B,N,F] + spatial [B,N,5] → visual token embeddings.
+
+    FB-arch form (use_position_embeddings=False): LN(img_proj + loc_proj)
+    (reference: vilbert_facebook_arch.py:79-104). Core form adds a learned
+    per-region position embedding (vilbert_core.py:419-480)."""
+
+    v_hidden_size: int
+    dropout_rate: float
+    use_position_embeddings: bool = False
+    max_regions: int = 100
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, features, spatial, deterministic: bool):
+        img = make_dense(self.v_hidden_size, jnp.float32, "image_embeddings")(
+            features.astype(jnp.float32)
+        )
+        loc = make_dense(self.v_hidden_size, jnp.float32, "image_location_embeddings")(
+            spatial.astype(jnp.float32)
+        )
+        h = img + loc
+        if self.use_position_embeddings:
+            n = features.shape[-2]
+            pos_ids = jnp.arange(n)[None, :]
+            h = h + nn.Embed(
+                self.max_regions, self.v_hidden_size, param_dtype=jnp.float32,
+                embedding_init=DEFAULT_INIT, name="position_embeddings",
+            )(pos_ids)
+        h = make_layernorm("LayerNorm")(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return h.astype(self.dtype)
+
+
+class Pooler(nn.Module):
+    """tanh(W·x) over the first token (reference: BertPooler,
+    vilbert_facebook_arch.py:397-408)."""
+
+    output_size: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, first_token):
+        return jnp.tanh(make_dense(self.output_size, self.dtype, "dense")(first_token))

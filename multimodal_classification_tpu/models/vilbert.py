@@ -1,0 +1,317 @@
+"""Two-stream ViLBERT with cross-modal co-attention (Flax).
+
+One implementation covers both reference architectures via ViLBERTConfig:
+
+- **Facebook-exact asymmetric arch** (the one behind every headline number;
+  reference: models/vilbert_facebook_arch.py): text 12×768/12h, visual
+  6×1024/8h, co-attention in a shared 1024-d bi-space (`BiAttention`: the two
+  directions share the per-stream K/V projections) applied after text layers
+  (1,3,5,7,9,11); first-token poolers; concat → MLP head.
+- **Core symmetric variant** (reference: models/vilbert_core.py): both streams
+  768-d, per-direction unshared cross-attention (`BertConnectionLayer`),
+  learned visual position embeddings, [CLS]+mean pooling
+  (select with ``config.pooling="cls_mean"`` / ``co_attention_shared=False``).
+
+Encoder interleave (identical in both references): for each text layer t,
+run the text block; if t is a co-attention site, run one visual block then the
+cross-modal block (vilbert_facebook_arch.py:459-481, vilbert_core.py:385-416).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multimodal_classification_tpu.config import ViLBERTConfig
+from multimodal_classification_tpu.models.layers import (
+    CrossAttention,
+    Intermediate,
+    Pooler,
+    ResidualOutput,
+    SelfAttention,
+    TextEmbeddings,
+    TransformerLayer,
+    VisualEmbeddings,
+    make_dense,
+)
+from multimodal_classification_tpu.ops.attention import (
+    bi_attention_core,
+    mask_to_bias,
+    merge_heads,
+    split_heads,
+)
+from multimodal_classification_tpu.registry import register_model
+
+
+class BiAttentionBlock(nn.Module):
+    """Shared-projection bidirectional cross-attention + per-stream FFN —
+    Facebook's `c_layer` (reference: vilbert_facebook_arch.py:222-394
+    BiAttention/BiOutput/CoAttentionLayer).
+
+    Projections: query1/key1/value1 lift the visual stream and query2/key2/
+    value2 the text stream into the bi-space; the v→t direction uses
+    (query1, key2, value2), the t→v direction (query2, key1, value1) — the
+    K/V projections are shared between directions. Output: per-stream
+    projection back + dropout + LayerNorm residual, then per-stream FFN.
+    """
+
+    cfg: ViLBERTConfig
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, v_hidden, t_hidden, v_bias, t_bias, deterministic: bool):
+        cfg = self.cfg
+        bi = cfg.bi_hidden_size
+        heads = cfg.bi_num_attention_heads
+
+        q1 = make_dense(bi, self.dtype, "query1")(v_hidden)
+        k1 = make_dense(bi, self.dtype, "key1")(v_hidden)
+        v1 = make_dense(bi, self.dtype, "value1")(v_hidden)
+        q2 = make_dense(bi, self.dtype, "query2")(t_hidden)
+        k2 = make_dense(bi, self.dtype, "key2")(t_hidden)
+        v2 = make_dense(bi, self.dtype, "value2")(t_hidden)
+
+        rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
+        rngs = None
+        if rate > 0.0:
+            rngs = (self.make_rng("dropout"), self.make_rng("dropout"))
+        v_ctx, t_ctx = bi_attention_core(
+            split_heads(q1, heads), (split_heads(k2, heads), split_heads(v2, heads)),
+            split_heads(q2, heads), (split_heads(k1, heads), split_heads(v1, heads)),
+            t_bias, v_bias,
+            dropout_rate=rate, dropout_rngs=rngs,
+            impl="auto" if cfg.use_pallas_attention else "xla",
+        )
+        v_ctx = merge_heads(v_ctx)
+        t_ctx = merge_heads(t_ctx)
+
+        # BiOutput: project back per stream + residual (the reference also
+        # defines q_dense1/q_dense2 here but never applies them in forward —
+        # vilbert_facebook_arch.py:324-338; we do not create them)
+        v_attn = ResidualOutput(
+            cfg.v_hidden_size, cfg.v_hidden_dropout_prob, self.dtype, name="v_output_attn"
+        )(v_ctx, v_hidden, deterministic)
+        t_attn = ResidualOutput(
+            cfg.hidden_size, cfg.hidden_dropout_prob, self.dtype, name="t_output_attn"
+        )(t_ctx, t_hidden, deterministic)
+
+        v_inter = Intermediate(cfg.v_intermediate_size, self.dtype, name="v_intermediate")(v_attn)
+        v_out = ResidualOutput(
+            cfg.v_hidden_size, cfg.v_hidden_dropout_prob, self.dtype, name="v_output"
+        )(v_inter, v_attn, deterministic)
+        t_inter = Intermediate(cfg.intermediate_size, self.dtype, name="t_intermediate")(t_attn)
+        t_out = ResidualOutput(
+            cfg.hidden_size, cfg.hidden_dropout_prob, self.dtype, name="t_output"
+        )(t_inter, t_attn, deterministic)
+        return v_out, t_out
+
+
+class ConnectionBlock(nn.Module):
+    """Unshared per-direction cross-attention + per-stream FFN — the core
+    variant's `BertConnectionLayer` (reference: vilbert_core.py:271-330).
+    Requires symmetric stream dims (hidden_size == v_hidden_size)."""
+
+    cfg: ViLBERTConfig
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, v_hidden, t_hidden, v_bias, t_bias, deterministic: bool):
+        cfg = self.cfg
+        v_ctx = CrossAttention(
+            cfg.v_hidden_size, cfg.v_num_attention_heads,
+            cfg.v_attention_probs_dropout_prob, self.dtype, name="biattention_v",
+        )(v_hidden, t_hidden, t_bias, deterministic)
+        v_attn = ResidualOutput(
+            cfg.v_hidden_size, cfg.v_hidden_dropout_prob, self.dtype, name="v_output_attn"
+        )(v_ctx, v_hidden, deterministic)
+        t_ctx = CrossAttention(
+            cfg.hidden_size, cfg.num_attention_heads,
+            cfg.attention_probs_dropout_prob, self.dtype, name="biattention_t",
+        )(t_hidden, v_hidden, v_bias, deterministic)
+        t_attn = ResidualOutput(
+            cfg.hidden_size, cfg.hidden_dropout_prob, self.dtype, name="t_output_attn"
+        )(t_ctx, t_hidden, deterministic)
+
+        v_inter = Intermediate(cfg.v_intermediate_size, self.dtype, name="intermediate_v")(v_attn)
+        v_out = ResidualOutput(
+            cfg.v_hidden_size, cfg.v_hidden_dropout_prob, self.dtype, name="output_v"
+        )(v_inter, v_attn, deterministic)
+        t_inter = Intermediate(cfg.intermediate_size, self.dtype, name="intermediate_t")(t_attn)
+        t_out = ResidualOutput(
+            cfg.hidden_size, cfg.hidden_dropout_prob, self.dtype, name="output_t"
+        )(t_inter, t_attn, deterministic)
+        return v_out, t_out
+
+
+class ViLBERTEncoder(nn.Module):
+    """Interleaved two-stream encoder (see module docstring)."""
+
+    cfg: ViLBERTConfig
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, t_hidden, v_hidden, t_bias, v_bias, deterministic: bool):
+        cfg = self.cfg
+        co_sites = set(cfg.co_attention_text_layers)
+        impl = "auto" if cfg.use_pallas_attention else "xla"
+
+        text_layer = TransformerLayer
+        visual_layer = TransformerLayer
+        co_block = BiAttentionBlock if cfg.pooling == "cls" else ConnectionBlock
+        # core variant (cls_mean pooling) uses unshared connection layers
+        if cfg.remat:
+            # static_argnums index into (module, hidden, bias, deterministic)
+            text_layer = nn.remat(text_layer, static_argnums=(3,))
+            visual_layer = nn.remat(visual_layer, static_argnums=(3,))
+
+        v_idx = 0
+        for t_idx in range(cfg.num_hidden_layers):
+            t_hidden = text_layer(
+                cfg.hidden_size, cfg.num_attention_heads, cfg.intermediate_size,
+                cfg.hidden_dropout_prob, cfg.attention_probs_dropout_prob,
+                self.dtype, impl, name=f"layer_{t_idx}",
+            )(t_hidden, t_bias, deterministic)
+            if t_idx in co_sites and v_idx < cfg.v_num_hidden_layers:
+                v_hidden = visual_layer(
+                    cfg.v_hidden_size, cfg.v_num_attention_heads, cfg.v_intermediate_size,
+                    cfg.v_hidden_dropout_prob, cfg.v_attention_probs_dropout_prob,
+                    self.dtype, impl, name=f"v_layer_{v_idx}",
+                )(v_hidden, v_bias, deterministic)
+                v_hidden, t_hidden = co_block(cfg, self.dtype, name=f"c_layer_{v_idx}")(
+                    v_hidden, t_hidden, v_bias, t_bias, deterministic
+                )
+                v_idx += 1
+        return t_hidden, v_hidden
+
+
+class ViLBERTModel(nn.Module):
+    """Backbone: embeddings → interleaved encoder → poolers
+    (reference: vilbert_facebook_arch.py:484-551 / vilbert_core.py:483-591)."""
+
+    cfg: ViLBERTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        attention_mask=None,
+        token_type_ids=None,
+        visual_features=None,
+        visual_attention_mask=None,
+        spatial_locations=None,
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+
+        t_hidden = TextEmbeddings(
+            cfg.vocab_size, cfg.hidden_size, cfg.max_position_embeddings,
+            cfg.type_vocab_size, cfg.hidden_dropout_prob, dtype, name="embeddings",
+        )(input_ids, token_type_ids, deterministic)
+        v_hidden = VisualEmbeddings(
+            cfg.v_hidden_size, cfg.v_hidden_dropout_prob,
+            cfg.v_use_position_embeddings, dtype=dtype, name="v_embeddings",
+        )(visual_features, spatial_locations, deterministic)
+
+        t_bias = mask_to_bias(attention_mask)
+        v_bias = mask_to_bias(visual_attention_mask)
+
+        t_hidden, v_hidden = ViLBERTEncoder(cfg, dtype, name="encoder")(
+            t_hidden, v_hidden, t_bias, v_bias, deterministic
+        )
+
+        t_pooled = Pooler(cfg.bi_hidden_size, dtype, name="t_pooler")(t_hidden[:, 0])
+        if cfg.pooling == "cls_mean":
+            v_first = jnp.mean(v_hidden, axis=1)
+            v_pool_size = cfg.v_hidden_size
+        else:
+            v_first = v_hidden[:, 0]
+            v_pool_size = cfg.v_hidden_size
+        v_pooled = Pooler(v_pool_size, dtype, name="v_pooler")(v_first)
+        return {
+            "text_output": t_hidden,
+            "visual_output": v_hidden,
+            "text_pooled": t_pooled,
+            "visual_pooled": v_pooled,
+        }
+
+
+class ViLBERTForClassification(nn.Module):
+    """ViLBERT + MLP classification head.
+
+    Head: dropout → Linear(bi+v_hidden → classifier_hidden) → ReLU → dropout
+    → Linear(→ num_labels) (reference: vilbert_facebook_arch.py:570-578,
+    vilbert_core.py:611-618). Returns logits; losses live in
+    ``training.losses`` (pure functions) rather than inside the model.
+    """
+
+    cfg: ViLBERTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        attention_mask=None,
+        token_type_ids=None,
+        visual_features=None,
+        visual_attention_mask=None,
+        spatial_locations=None,
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        out = ViLBERTModel(cfg, name="bert")(
+            input_ids, attention_mask, token_type_ids,
+            visual_features, visual_attention_mask, spatial_locations,
+            deterministic,
+        )
+        pooled = jnp.concatenate([out["text_pooled"], out["visual_pooled"]], axis=-1)
+        h = nn.Dropout(cfg.classifier_dropout)(pooled, deterministic=deterministic)
+        h = make_dense(cfg.classifier_hidden_size, dtype, "classifier_dense")(h)
+        h = nn.relu(h)
+        h = nn.Dropout(cfg.classifier_dropout)(h, deterministic=deterministic)
+        logits = make_dense(cfg.num_labels, jnp.float32, "classifier_out")(h)
+        return {"logits": logits.astype(jnp.float32), "pooled_output": pooled, **out}
+
+
+# ---------------------------------------------------------------------------
+# Registry factories (names preserved from the reference registry,
+# models/__init__.py:34-59 / nodes.py:212-348)
+# ---------------------------------------------------------------------------
+
+
+@register_model("vilbert_facebook")
+def _make_facebook(config: Optional[ViLBERTConfig] = None, **overrides) -> ViLBERTForClassification:
+    from multimodal_classification_tpu.config import facebook_vilbert_config
+
+    cfg = config or facebook_vilbert_config(**overrides)
+    return ViLBERTForClassification(cfg)
+
+
+@register_model("vilbert_hf")
+def _make_core(config: Optional[ViLBERTConfig] = None, **overrides) -> ViLBERTForClassification:
+    from multimodal_classification_tpu.config import core_vilbert_config
+
+    cfg = config or core_vilbert_config(**overrides)
+    return ViLBERTForClassification(cfg)
+
+
+def init_params(model: ViLBERTForClassification, rng: jax.Array, batch: Dict[str, Any]):
+    return model.init({"params": rng}, **batch, deterministic=True)["params"]
+
+
+def dummy_batch(
+    cfg: ViLBERTConfig, batch_size: int = 2, seq_len: int = 16, num_regions: int = 8
+) -> Dict[str, jnp.ndarray]:
+    """Shape-correct all-ones batch for init/compile checks."""
+    return {
+        "input_ids": jnp.ones((batch_size, seq_len), jnp.int32),
+        "attention_mask": jnp.ones((batch_size, seq_len), jnp.float32),
+        "token_type_ids": jnp.zeros((batch_size, seq_len), jnp.int32),
+        "visual_features": jnp.ones((batch_size, num_regions, cfg.v_feature_size), jnp.float32),
+        "visual_attention_mask": jnp.ones((batch_size, num_regions), jnp.float32),
+        "spatial_locations": jnp.ones((batch_size, num_regions, cfg.v_loc_size), jnp.float32),
+    }

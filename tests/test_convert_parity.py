@@ -1,0 +1,130 @@
+"""Golden forward-pass parity: reference torch ViLBERT (FB arch) vs our Flax
+implementation, weights transferred through the converter.
+
+The reference model is imported as an *oracle only* (random init, offline,
+tiny config) — this simultaneously validates the architecture math and the
+checkpoint conversion mapping.
+"""
+
+import importlib.util
+
+import jax
+import numpy as np
+import pytest
+import torch
+
+
+def _load_reference_arch():
+    """Import the reference module file directly (its package __init__ pulls
+    torchvision, which this image lacks)."""
+    spec = importlib.util.spec_from_file_location(
+        "ref_vilbert_facebook_arch",
+        "/root/reference/src/multimodalclassification/models/vilbert_facebook_arch.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+from multimodal_classification_tpu.config import tiny_vilbert_config
+from multimodal_classification_tpu.models.convert import (
+    convert_facebook_vilbert,
+    merge_params,
+)
+from multimodal_classification_tpu.models.vilbert import (
+    ViLBERTForClassification,
+    dummy_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def reference_pair():
+    """(torch model, flax model, flax params) with identical weights."""
+    ref = _load_reference_arch()
+
+    # the reference's BertConfig keeps HF defaults for max_position_embeddings
+    # (vilbert_facebook_arch.py:494-501 passes only 5 fields)
+    cfg = tiny_vilbert_config(
+        dtype="float32", use_pallas_attention=False, max_position_embeddings=512,
+        vocab_size=30522,
+    )
+    ref_config = {
+        "hidden_size": cfg.hidden_size,
+        "num_attention_heads": cfg.num_attention_heads,
+        "num_hidden_layers": cfg.num_hidden_layers,
+        "intermediate_size": cfg.intermediate_size,
+        "hidden_dropout_prob": cfg.hidden_dropout_prob,
+        "attention_probs_dropout_prob": cfg.attention_probs_dropout_prob,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "vocab_size": cfg.vocab_size,
+        "v_hidden_size": cfg.v_hidden_size,
+        "v_num_attention_heads": cfg.v_num_attention_heads,
+        "v_num_hidden_layers": cfg.v_num_hidden_layers,
+        "v_intermediate_size": cfg.v_intermediate_size,
+        "v_hidden_dropout_prob": cfg.v_hidden_dropout_prob,
+        "v_attention_probs_dropout_prob": cfg.v_attention_probs_dropout_prob,
+        "num_co_attention_layers": len(cfg.co_attention_text_layers),
+        "bi_hidden_size": cfg.bi_hidden_size,
+        "v_feature_size": cfg.v_feature_size,
+        "v_loc_size": cfg.v_loc_size,
+    }
+    torch.manual_seed(0)
+    tmodel = ref.ViLBERTForClassification(ref_config, num_labels=cfg.num_labels)
+    # the reference encoder hardcodes sites [1,3,5,7,9,11]; with 4 text layers
+    # only (1,3) fire — matching tiny config
+    tmodel.eval()
+
+    fmodel = ViLBERTForClassification(cfg)
+    batch = dummy_batch(cfg, 2, 12, 6)
+    init = fmodel.init(jax.random.key(0), **batch)["params"]
+    loaded = convert_facebook_vilbert(tmodel.state_dict(), cfg)
+    params, n_loaded, n_total = merge_params(init, loaded)
+    # everything except nothing should be loaded (head present in state dict)
+    assert n_loaded == n_total, f"only {n_loaded}/{n_total} params loaded"
+    return tmodel, fmodel, params, cfg
+
+
+def test_forward_parity(reference_pair, rng):
+    tmodel, fmodel, params, cfg = reference_pair
+    b, s, n = 2, 12, 6
+    input_ids = rng.integers(0, cfg.vocab_size, (b, s))
+    attention_mask = np.ones((b, s), np.float32)
+    attention_mask[:, -3:] = 0.0
+    token_type_ids = np.zeros((b, s), np.int64)
+    feats = rng.standard_normal((b, n, cfg.v_feature_size)).astype(np.float32)
+    vmask = np.ones((b, n), np.float32)
+    vmask[:, -2:] = 0.0
+    spatial = rng.uniform(0, 1, (b, n, 5)).astype(np.float32)
+
+    with torch.no_grad():
+        tout = tmodel(
+            input_ids=torch.from_numpy(input_ids),
+            attention_mask=torch.from_numpy(attention_mask),
+            token_type_ids=torch.from_numpy(token_type_ids),
+            visual_features=torch.from_numpy(feats),
+            visual_attention_mask=torch.from_numpy(vmask),
+            spatial_locations=torch.from_numpy(spatial),
+        )["logits"].numpy()
+
+    fout = fmodel.apply(
+        {"params": params},
+        input_ids=input_ids.astype(np.int32),
+        attention_mask=attention_mask,
+        token_type_ids=token_type_ids.astype(np.int32),
+        visual_features=feats,
+        visual_attention_mask=vmask,
+        spatial_locations=spatial,
+    )["logits"]
+
+    np.testing.assert_allclose(np.asarray(fout), tout, rtol=1e-4, atol=1e-4)
+
+
+def test_pretraining_checkpoint_skips_head(reference_pair):
+    """cls.* keys are dropped; a headless checkpoint keeps the fresh head."""
+    tmodel, fmodel, _, cfg = reference_pair
+    sd = {k: v for k, v in tmodel.state_dict().items() if not k.startswith("classifier.")}
+    sd["cls.predictions.bias"] = torch.zeros(5)
+    loaded = convert_facebook_vilbert(sd, cfg)
+    batch = dummy_batch(cfg, 1, 8, 4)
+    init = fmodel.init(jax.random.key(1), **batch)["params"]
+    params, n_loaded, n_total = merge_params(init, loaded)
+    assert n_loaded == n_total - 4  # classifier_dense/out kernel+bias fresh
