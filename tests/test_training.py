@@ -1,0 +1,225 @@
+"""Training engine tests: loss parity vs reference torch implementations,
+schedule parity, metric parity vs sklearn, end-to-end tiny training on an
+8-device CPU mesh with early stopping and checkpoint restore."""
+
+import importlib.util
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from multimodal_classification_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    TrainingConfig,
+    tiny_vilbert_config,
+)
+from multimodal_classification_tpu.training import (
+    Trainer,
+    auroc,
+    binary_metrics,
+    get_loss_function,
+    warmup_linear_schedule,
+)
+
+
+def _load_reference_losses():
+    spec = importlib.util.spec_from_file_location(
+        "ref_losses",
+        "/root/reference/src/multimodalclassification/pipelines/model_training/losses.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+REF = _load_reference_losses()
+
+
+class TestLossParity:
+    @pytest.fixture
+    def data(self, rng):
+        logits = rng.standard_normal((32, 2)).astype(np.float32) * 2
+        labels = rng.integers(0, 2, 32)
+        return logits, labels
+
+    @pytest.mark.parametrize(
+        "loss_type,kwargs",
+        [
+            ("ce", {}),
+            ("focal", dict(alpha=0.35, gamma=2.0)),
+            ("label_smoothing", dict(smoothing=0.1)),
+            ("focal_smoothing", dict(alpha=0.35, gamma=2.0, smoothing=0.1)),
+        ],
+    )
+    def test_matches_reference_torch(self, data, loss_type, kwargs):
+        logits, labels = data
+        ours = get_loss_function(loss_type, **kwargs)(
+            jnp.asarray(logits), jnp.asarray(labels)
+        )
+        ref_fn = REF.get_loss_function(
+            loss_type=loss_type,
+            alpha=kwargs.get("alpha", 0.35),
+            gamma=kwargs.get("gamma", 2.0),
+            smoothing=kwargs.get("smoothing", 0.1),
+        )
+        want = ref_fn(torch.from_numpy(logits), torch.from_numpy(labels)).item()
+        np.testing.assert_allclose(float(ours), want, rtol=1e-5)
+
+    def test_weighted_matches_reference(self, data):
+        logits, labels = data
+        counts = [65.0, 35.0]
+        ours = get_loss_function("weighted", class_counts=counts)(
+            jnp.asarray(logits), jnp.asarray(labels)
+        )
+        ref_fn = REF.get_loss_function("weighted", class_counts=torch.tensor(counts))
+        want = ref_fn(torch.from_numpy(logits), torch.from_numpy(labels)).item()
+        np.testing.assert_allclose(float(ours), want, rtol=1e-5)
+
+    def test_example_weights_mask_padding(self, data):
+        logits, labels = data
+        loss = get_loss_function("ce")
+        full = loss(jnp.asarray(logits[:16]), jnp.asarray(labels[:16]))
+        w = np.zeros(32, np.float32)
+        w[:16] = 1.0
+        masked = loss(jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(w))
+        np.testing.assert_allclose(float(masked), float(full), rtol=1e-6)
+
+
+class TestSchedule:
+    def test_matches_reference_lambda(self):
+        sched = warmup_linear_schedule(1e-3, warmup_steps=100, total_steps=1000)
+
+        def ref_lambda(step):  # reference nodes.py:699-709
+            if step < 100:
+                return step / 100
+            return max(0.0, (1000 - step) / (1000 - 100))
+
+        for step in [0, 1, 50, 99, 100, 101, 500, 999, 1000, 1500]:
+            np.testing.assert_allclose(
+                float(sched(step)), 1e-3 * ref_lambda(step), rtol=1e-6,
+                err_msg=f"step {step}",
+            )
+
+
+class TestMetrics:
+    def test_auroc_matches_sklearn(self, rng):
+        from sklearn.metrics import roc_auc_score
+
+        labels = rng.integers(0, 2, 500)
+        scores = rng.uniform(0, 1, 500)
+        scores[labels == 1] += 0.3 * rng.uniform(0, 1, int(labels.sum()))
+        np.testing.assert_allclose(
+            auroc(labels, scores), roc_auc_score(labels, scores), rtol=1e-10
+        )
+        # with heavy ties
+        q = np.round(scores * 5) / 5
+        np.testing.assert_allclose(
+            auroc(labels, q), roc_auc_score(labels, q), rtol=1e-10
+        )
+
+    def test_binary_metrics_match_sklearn(self, rng):
+        from sklearn.metrics import accuracy_score, f1_score
+
+        labels = rng.integers(0, 2, 300)
+        probs = rng.uniform(0, 1, 300)
+        m = binary_metrics(labels, probs)
+        preds = (probs >= 0.5).astype(int)
+        np.testing.assert_allclose(m["accuracy"], accuracy_score(labels, preds))
+        np.testing.assert_allclose(m["f1"], f1_score(labels, preds), rtol=1e-9)
+
+
+def _synthetic_batches(cfg, n_batches, batch_size, seed, separable=True):
+    """Deterministic, linearly-separable-ish synthetic memes batches."""
+    rng = np.random.default_rng(seed)
+    batches = []
+    for _ in range(n_batches):
+        labels = rng.integers(0, 2, batch_size)
+        feats = rng.standard_normal((batch_size, 8, cfg.v_feature_size)).astype(np.float32)
+        if separable:  # inject label signal into the visual features
+            feats[:, :, 0] += labels[:, None] * 3.0
+        batches.append(
+            {
+                "input_ids": rng.integers(0, cfg.vocab_size, (batch_size, 16)).astype(np.int32),
+                "attention_mask": np.ones((batch_size, 16), np.float32),
+                "token_type_ids": np.zeros((batch_size, 16), np.int32),
+                "visual_features": feats,
+                "visual_attention_mask": np.ones((batch_size, 8), np.float32),
+                "spatial_locations": rng.uniform(0, 1, (batch_size, 8, 5)).astype(np.float32),
+                "labels": labels.astype(np.int32),
+                "weights": np.ones(batch_size, np.float32),
+            }
+        )
+    return batches
+
+
+class TestTrainer:
+    def test_end_to_end_tiny_training_improves_auroc(self, tmp_path):
+        from multimodal_classification_tpu.models.vilbert import (
+            ViLBERTForClassification,
+            init_params,
+        )
+
+        assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+        cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False)
+        tcfg = TrainingConfig(
+            batch_size=16, num_epochs=3, learning_rate=5e-4, warmup_steps=5,
+            early_stopping_patience=5, mesh_shape=(4, 2), grad_accum_steps=1,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        ex = ExperimentConfig(name="test", model=cfg, training=tcfg, data=DataConfig())
+        model = ViLBERTForClassification(cfg)
+
+        train_b = _synthetic_batches(cfg, 6, 16, seed=0)
+        val_b = _synthetic_batches(cfg, 2, 16, seed=1)
+
+        trainer = Trainer(model, ex, checkpoint_dir=str(tmp_path / "ckpt"))
+        from multimodal_classification_tpu.training.train import model_inputs
+
+        params = model.init(jax.random.key(0), **model_inputs(train_b[0]))["params"]
+
+        state, history = trainer.fit(
+            lambda: iter(train_b), lambda: iter(val_b),
+            steps_per_epoch=len(train_b), init_params=params,
+        )
+        assert len(history["val_auroc"]) >= 1
+        assert history["val_auroc"][-1] > 0.8, history
+        assert trainer.ckpt.exists("best")
+
+    def test_freeze_labels_partition(self):
+        from multimodal_classification_tpu.models.vilbert import ViLBERTForClassification
+        from multimodal_classification_tpu.training.train import freeze_labels, model_inputs
+
+        cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False)
+        model = ViLBERTForClassification(cfg)
+        b = _synthetic_batches(cfg, 1, 2, seed=0)[0]
+        params = model.init(jax.random.key(0), **model_inputs(b))["params"]
+        labels = freeze_labels(params, 2)
+        flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+        froze = {"/".join(str(p.key) for p in path if hasattr(p, "key")): v for path, v in flat}
+        assert froze["bert/embeddings/word_embeddings/embedding"] == "freeze"
+        assert froze["bert/encoder/layer_0/intermediate/dense/kernel"] == "freeze"
+        assert froze["bert/encoder/layer_1/intermediate/dense/kernel"] == "freeze"
+        assert froze["bert/encoder/layer_2/intermediate/dense/kernel"] == "train"
+        assert froze["bert/encoder/v_layer_0/intermediate/dense/kernel"] == "train"
+        assert froze["classifier_dense/kernel"] == "train"
+
+    def test_tp_param_shardings_partition_ffn(self):
+        from multimodal_classification_tpu.models.vilbert import ViLBERTForClassification
+        from multimodal_classification_tpu.parallel.mesh import build_mesh, param_shardings
+        from multimodal_classification_tpu.training.train import model_inputs
+
+        cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False)
+        model = ViLBERTForClassification(cfg)
+        b = _synthetic_batches(cfg, 1, 2, seed=0)[0]
+        params = model.init(jax.random.key(0), **model_inputs(b))["params"]
+        mesh = build_mesh((4, 2))
+        sh = param_shardings(params, mesh)
+        enc = sh["bert"]["encoder"]
+        assert enc["layer_0"]["intermediate"]["dense"]["kernel"].spec == jax.sharding.PartitionSpec(None, "mp")
+        assert enc["layer_0"]["output"]["dense"]["kernel"].spec == jax.sharding.PartitionSpec("mp", None)
+        assert enc["c_layer_0"]["query1"]["kernel"].spec == jax.sharding.PartitionSpec(None, "mp")
+        # LayerNorm replicated
+        assert enc["layer_0"]["output"]["LayerNorm"]["scale"].spec == jax.sharding.PartitionSpec()
