@@ -1,0 +1,176 @@
+"""Data layer tests: tokenizer (vs HF slow-tokenizer semantics implemented in
+torch-free python), ingest/splits, feature stores, batch loader shapes/
+determinism/padding."""
+
+import numpy as np
+import pytest
+
+from multimodal_classification_tpu.data import (
+    BatchLoader,
+    DictFeatureStore,
+    HDF5FeatureStore,
+    MemesDataset,
+    WordPieceTokenizer,
+    build_test_vocab,
+    compute_dataset_statistics,
+    load_hateful_memes,
+    preprocess_data,
+    write_hdf5_features,
+)
+from tests.fixtures import make_dataset_dir, make_feature_arrays, make_memes_df
+
+
+class TestTokenizer:
+    @pytest.fixture
+    def tok(self):
+        return WordPieceTokenizer(build_test_vocab())
+
+    def test_wordpiece_greedy_longest_match(self, tok):
+        assert tok.tokenize("hateful") == ["hateful"]
+        assert tok.tokenize("hates") == ["hate", "##s"]
+        assert tok.tokenize("loved") == ["love", "##d"]
+
+    def test_basic_tokenize_punct_lower(self, tok):
+        assert tok.basic_tokenize("Hate, People!") == ["hate", ",", "people", "!"]
+
+    def test_unknown_falls_to_unk(self, tok):
+        # 'ß' not in vocab and not decomposable → [UNK]
+        assert tok.tokenize("ß") == ["[UNK]"]
+
+    def test_encode_shape_and_special_tokens(self, tok):
+        ids, mask, types = tok.encode("the meme is hateful", max_length=16)
+        assert ids.shape == (16,) and mask.shape == (16,) and types.shape == (16,)
+        assert ids[0] == tok.cls_id
+        n = int(mask.sum())
+        assert ids[n - 1] == tok.sep_id
+        assert (ids[n:] == tok.pad_id).all()
+
+    def test_truncation(self, tok):
+        long_text = "meme " * 100
+        ids, mask, _ = tok.encode(long_text, max_length=8)
+        assert int(mask.sum()) == 8
+        assert ids[-1] == tok.sep_id
+
+    def test_matches_hf_bert_tokenizer_semantics(self, tok):
+        """Cross-check against HF's WordpieceTokenizer run on the same vocab
+        (pure-python, offline)."""
+        from transformers.models.bert.tokenization_bert import (
+            BasicTokenizer,
+            WordpieceTokenizer,
+        )
+
+        basic = BasicTokenizer(do_lower_case=True)
+        wp = WordpieceTokenizer(vocab=tok.vocab, unk_token="[UNK]")
+        for text in [
+            "The Meme IS hateful!",
+            "people, hate. love?",
+            "abc xyz 123",
+            "hates loved hating",
+        ]:
+            want = [p for w in basic.tokenize(text) for p in wp.tokenize(w)]
+            assert tok.tokenize(text) == want, text
+
+
+class TestIngest:
+    def test_load_splits_and_dedup(self, tmp_path):
+        d, dfs = make_dataset_dir(tmp_path)
+        splits = load_hateful_memes(d)
+        assert len(splits["train"]) == 64
+        assert len(splits["val"]) == 32
+        assert len(splits["test"]) == 32
+        assert not set(splits["train"]["id"]) & set(splits["val"]["id"])
+
+    def test_carveout_split_stratified(self, tmp_path):
+        d, _ = make_dataset_dir(tmp_path, n_train=200)
+        splits = load_hateful_memes(d, use_dev_as_val=False, val_split_ratio=0.1)
+        n = len(splits["train"]) + len(splits["val"])
+        assert abs(len(splits["val"]) - 0.1 * n) <= 2
+        # same seed → same split
+        splits2 = load_hateful_memes(d, use_dev_as_val=False, val_split_ratio=0.1)
+        assert splits["val"]["id"].tolist() == splits2["val"]["id"].tolist()
+
+    def test_preprocess_and_stats(self):
+        df = make_memes_df(50)
+        df = preprocess_data(df, {"lowercase": True, "max_text_length": 512})
+        assert "text_clean" in df
+        stats = compute_dataset_statistics({"train": df})
+        assert stats["train"]["num_samples"] == 50
+        assert 0.0 <= stats["train"]["hateful_ratio"] <= 1.0
+
+
+class TestFeatureStores:
+    def test_hdf5_roundtrip(self, tmp_path):
+        ids = [str(i) for i in range(10)]
+        feats, spatial = make_feature_arrays(ids, num_regions=7, dim=32)
+        path = str(tmp_path / "feats.h5")
+        write_hdf5_features(path, ids, feats, spatial)
+        store = HDF5FeatureStore(path)
+        assert store.num_regions == 7 and store.feature_dim == 32
+        f, s = store.get("3")
+        np.testing.assert_array_equal(f, feats[3])
+        np.testing.assert_array_equal(s, spatial[3])
+        assert store.get("99") is None
+
+    def test_dict_store(self):
+        ids = ["a", "b"]
+        feats, spatial = make_feature_arrays(ids, 4, 16)
+        store = DictFeatureStore(
+            {i: feats[k] for k, i in enumerate(ids)},
+            {i: spatial[k] for k, i in enumerate(ids)},
+        )
+        assert "a" in store and "z" not in store
+
+
+class TestBatchLoader:
+    @pytest.fixture
+    def dataset(self):
+        df = make_memes_df(37)
+        df = preprocess_data(df, {"lowercase": True})
+        ids = df["id"].tolist()
+        feats, spatial = make_feature_arrays(ids, num_regions=9, dim=64)
+        store = DictFeatureStore(
+            {i: feats[k] for k, i in enumerate(ids)},
+            {i: spatial[k] for k, i in enumerate(ids)},
+        )
+        tok = WordPieceTokenizer(build_test_vocab())
+        return MemesDataset(df, tok, store, max_seq_length=24, max_regions=12, feature_dim=64)
+
+    def test_item_shapes_and_region_padding(self, dataset):
+        item = dataset.get(0)
+        assert item["visual_features"].shape == (12, 64)
+        assert item["visual_attention_mask"].sum() == 9  # 9 real regions of 12
+        assert item["spatial_locations"].shape == (12, 5)
+
+    def test_batches_fixed_shape_with_padded_final(self, dataset):
+        loader = BatchLoader(dataset, batch_size=16)
+        batches = list(loader)
+        assert len(batches) == 3  # 37 → 16+16+5
+        for b in batches:
+            assert b["input_ids"].shape == (16, 24)
+            assert b["visual_features"].shape == (16, 12, 64)
+        assert batches[-1]["weights"].sum() == 5
+
+    def test_shuffle_is_per_epoch_deterministic(self, dataset):
+        l1 = BatchLoader(dataset, batch_size=8, shuffle=True, seed=7)
+        l2 = BatchLoader(dataset, batch_size=8, shuffle=True, seed=7)
+        e1a = [b["labels"].tolist() for b in l1]
+        e1b = [b["labels"].tolist() for b in l2]
+        assert e1a == e1b  # same seed+epoch → identical
+        e2a = [b["labels"].tolist() for b in l1]
+        assert e2a != e1a  # next epoch reshuffles
+
+    def test_missing_features_fall_back_to_zeros(self):
+        df = make_memes_df(4)
+        tok = WordPieceTokenizer(build_test_vocab())
+        ds = MemesDataset(df, tok, feature_store=None, max_seq_length=16,
+                          max_regions=6, feature_dim=32)
+        item = ds.get(0)
+        assert (item["visual_features"] == 0).all()
+
+    def test_producer_exception_propagates(self, dataset):
+        loader = BatchLoader(dataset, batch_size=8)
+        orig = dataset.get
+        dataset.get = lambda i: (_ for _ in ()).throw(RuntimeError("boom"))
+        with pytest.raises(RuntimeError, match="boom"):
+            list(loader)
+        dataset.get = orig
