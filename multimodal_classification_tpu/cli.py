@@ -1,0 +1,62 @@
+"""CLI: ``mmc-tpu run --pipeline=<name>`` — the reference's
+``kedro run --pipeline=<name>`` surface (reference: __main__.py:12-24)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="mmc-tpu",
+        description="TPU-native multimodal classification framework",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    run_p = sub.add_parser("run", help="run a named pipeline")
+    run_p.add_argument("--pipeline", default="__default__")
+    run_p.add_argument("--root", default=".", help="project root (conf/, data/)")
+    run_p.add_argument(
+        "--params", nargs="*", default=None,
+        help="parameter YAML paths (default: conf/base + conf/local)",
+    )
+    run_p.add_argument("--experiment", default="Default", help="tracking experiment name")
+
+    list_p = sub.add_parser("list", help="list pipelines / models / extractors")
+    list_p.add_argument("what", choices=["pipelines", "models", "extractors"])
+
+    args = parser.parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
+    )
+
+    if args.command == "list":
+        from multimodal_classification_tpu import registry
+
+        items = {
+            "pipelines": registry.list_available_pipelines,
+            "models": registry.list_available_models,
+            "extractors": registry.list_available_extractors,
+        }[args.what]()
+        print("\n".join(items))
+        return 0
+
+    from multimodal_classification_tpu.config import default_parameter_paths, load_parameters
+    from multimodal_classification_tpu.registry import get_pipeline
+    from multimodal_classification_tpu.utils.tracking import Tracker
+
+    paths = args.params if args.params else default_parameter_paths(args.root)
+    params = load_parameters(*paths)
+    pipeline = get_pipeline(args.pipeline)
+    tracker = Tracker(root=f"{args.root}/mlruns", experiment=args.experiment)
+    result = pipeline(params, root=args.root, tracker=tracker) \
+        if args.pipeline != "data_processing" else pipeline(params, root=args.root)
+    logging.getLogger(__name__).info("pipeline %s finished: %s", args.pipeline,
+                                     type(result).__name__)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

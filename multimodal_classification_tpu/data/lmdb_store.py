@@ -169,6 +169,19 @@ class LMDBFeatureStore(FeatureStore):
         self.reader = open_lmdb(lmdb_path, prefer_native)
         n = getattr(self.reader, "entries", None)
         logger.info("LMDB opened: %s entries", n)
+        # probe actual region count/dim from the first entry (Facebook's file
+        # is always 100×2048; fabricated/repacked stores may differ)
+        for _k, raw in self.reader.items():
+            try:
+                obj = pickle.loads(raw)
+                feats = obj.get("features") if isinstance(obj, dict) else obj
+                if feats is not None:
+                    arr = np.asarray(feats)
+                    if arr.ndim == 2:
+                        self.num_regions, self.feature_dim = int(arr.shape[0]), int(arr.shape[1])
+            except Exception:
+                pass
+            break
 
     def _query(self, img_id: str) -> Optional[bytes]:
         for key in (img_id, f"{img_id}.png", img_id.zfill(5)):

@@ -1,0 +1,301 @@
+"""Pipeline building blocks: the reference's node functions re-designed.
+
+A pipeline here is a plain function over (params, root_dir, tracker) —
+deterministic orchestration without the Kedro runtime, but preserving the
+reference's artifact surface (reference: conf/base/catalog.yml):
+``data_splits_info.json``, ``training_history.json``, ``test_metrics.json``,
+``validation_metrics.json``, ``predictions.csv``, ``model_path.txt`` under
+``data/``, plus mlruns metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import numpy as np
+import pandas as pd
+
+from multimodal_classification_tpu.config import (
+    ExperimentConfig,
+    experiment_from_parameters,
+)
+from multimodal_classification_tpu.data import (
+    BatchLoader,
+    HDF5FeatureStore,
+    MemesDataset,
+    WordPieceTokenizer,
+    compute_dataset_statistics,
+    load_hateful_memes,
+    load_tokenizer,
+    preprocess_data,
+)
+from multimodal_classification_tpu.data.features import FeatureStore
+from multimodal_classification_tpu.training.train import Trainer, model_inputs
+from multimodal_classification_tpu.utils.tracking import NullTracker, Tracker
+
+logger = logging.getLogger(__name__)
+
+# variant → how visual features are sourced
+PRECOMPUTED_VARIANTS = {"lmdb": "lmdb", "precomputed": "hdf5"}
+EXTRACTOR_VARIANTS = {
+    "": "resnet",
+    "frcnn": "fasterrcnn",
+    "frcnn_resnet152": "fasterrcnn_resnet152",
+    "dinov2": "dinov2",
+    "dinov2_multilayer": "dinov2_multilayer",
+    "vg": "fasterrcnn_vg",
+    "vg_rpn": "fasterrcnn_vg_rpn",
+    "resnet_vg": "resnet_vg",
+    "resnet152_grid": "resnet",
+    "resnet152_roi": "resnet152_roi",
+    "x152": "grid_x152",
+}
+
+
+def _write_json(path: str, obj: Any):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2, default=float)
+
+
+def run_data_processing(
+    params: Mapping[str, Any], root: str = "."
+) -> Dict[str, pd.DataFrame]:
+    """Load + split + clean (reference: data_processing pipeline). Emits
+    ``data/08_reporting/data_splits_info.json`` (catalog.yml:28-30)."""
+    dp = dict(params.get("data_processing", {}) or {})
+    data_dir = os.path.join(root, dp.get("data_dir", "data/01_raw/hateful_memes"))
+    splits = load_hateful_memes(
+        data_dir,
+        use_dev_as_val=dp.get("use_dev_as_val", True),
+        val_split_ratio=dp.get("val_split_ratio", 0.1),
+        random_seed=dp.get("random_seed", 42),
+    )
+    splits = {k: preprocess_data(v, dp) for k, v in splits.items()}
+    stats = compute_dataset_statistics(splits)
+    _write_json(os.path.join(root, "data/08_reporting/data_splits_info.json"), stats)
+    return splits
+
+
+def make_feature_store(
+    variant: str, ex: ExperimentConfig, root: str = "."
+) -> Optional[FeatureStore]:
+    """Feature source for a pipeline variant: LMDB / HDF5 precomputed / an
+    extractor-backed store (batched + cached — the reference extracted
+    per-image inside __getitem__, nodes.py:129-148)."""
+    if variant in PRECOMPUTED_VARIANTS:
+        if variant == "lmdb":
+            from multimodal_classification_tpu.data.lmdb_store import LMDBFeatureStore
+
+            path = ex.data.lmdb_path or os.path.join(
+                root, "data/01_raw/lmdb_features/detectron.lmdb"
+            )
+            return LMDBFeatureStore(path)
+        path = ex.data.hdf5_features_path or os.path.join(
+            root, "data/02_intermediate/precomputed_features.h5"
+        )
+        return HDF5FeatureStore(path)
+    extractor_name = EXTRACTOR_VARIANTS.get(variant, ex.data.feature_extractor)
+    from multimodal_classification_tpu.extractors.store import ExtractorFeatureStore
+
+    return ExtractorFeatureStore(
+        extractor_name,
+        image_root=os.path.join(root, ex.data.data_dir),
+        max_regions=ex.data.max_regions,
+        cache_path=os.path.join(root, f"data/02_intermediate/features_{extractor_name}.h5"),
+        extractor_kwargs=dict(ex.data.extractor_kwargs),
+    )
+
+
+def build_datasets(
+    splits: Mapping[str, pd.DataFrame],
+    ex: ExperimentConfig,
+    store: Optional[FeatureStore],
+    tokenizer: Optional[WordPieceTokenizer] = None,
+) -> Dict[str, MemesDataset]:
+    tok = tokenizer or load_tokenizer(ex.data.tokenizer_vocab, ex.data.lowercase)
+    num_regions = getattr(store, "num_regions", ex.data.max_regions)
+    feat_dim = getattr(store, "feature_dim", ex.data.visual_feature_dim)
+    return {
+        name: MemesDataset(
+            df, tok, store,
+            max_seq_length=ex.data.max_seq_length,
+            max_regions=num_regions,
+            feature_dim=feat_dim,
+        )
+        for name, df in splits.items()
+        if len(df)
+    }
+
+
+def build_model_and_params(ex: ExperimentConfig, root: str = "."):
+    from multimodal_classification_tpu.models.vilbert import (
+        ViLBERTForClassification,
+        dummy_batch,
+    )
+
+    model = ViLBERTForClassification(ex.model)
+    batch = dummy_batch(ex.model, 1, ex.data.max_seq_length, ex.data.max_regions)
+    params = model.init(jax.random.key(ex.training.seed), **batch)["params"]
+
+    ckpt = ex.pretrained_checkpoint
+    if ckpt:
+        path = ckpt if os.path.isabs(ckpt) else os.path.join(root, ckpt)
+        if os.path.exists(path):
+            from multimodal_classification_tpu.models.convert import (
+                convert_facebook_vilbert,
+                load_torch_checkpoint,
+                merge_params,
+            )
+
+            sd = load_torch_checkpoint(path)
+            loaded = convert_facebook_vilbert(sd, ex.model)
+            params, n, total = merge_params(params, loaded)
+            logger.info("loaded %d/%d param tensors from %s", n, total, path)
+        else:
+            logger.warning("pretrained checkpoint %s not found; fresh init", path)
+    return model, params
+
+
+def run_training_pipeline(
+    variant: str,
+    params: Mapping[str, Any],
+    root: str = ".",
+    tracker: Optional[Tracker] = None,
+    splits: Optional[Mapping[str, pd.DataFrame]] = None,
+    store: Optional[FeatureStore] = None,
+    tokenizer=None,
+) -> Dict[str, Any]:
+    """data → loaders → model → train → evaluate → save
+    (the reference's 5-node training template, model_training/pipeline.py:51-87)."""
+    ex = experiment_from_parameters(params, variant)
+    tracker = tracker or NullTracker()
+    tracker.start_run(run_name=ex.name)
+    try:
+        if splits is None:
+            splits = run_data_processing(params, root)
+        if store is None:
+            store = make_feature_store(variant, ex, root)
+        datasets = build_datasets(splits, ex, store, tokenizer)
+        loaders = {
+            name: BatchLoader(
+                ds, ex.training.batch_size, shuffle=(name == "train"),
+                seed=ex.training.seed, prefetch=ex.data.prefetch_depth,
+            )
+            for name, ds in datasets.items()
+        }
+        model, init_params = build_model_and_params(ex, root)
+        out_dir = os.path.join(root, ex.output_dir)
+        trainer = Trainer(model, ex, tracker=tracker, checkpoint_dir=out_dir)
+        state, history = trainer.fit(
+            loaders["train"], loaders["val"],
+            steps_per_epoch=len(loaders["train"]),
+            init_params=init_params,
+        )
+        _write_json(os.path.join(root, "data/08_reporting/training_history.json"), history)
+
+        test_metrics: Dict[str, Any] = {}
+        if "test" in loaders and datasets["test"].labels.max() >= 0:
+            test_metrics = trainer.evaluate(state.params, loaders["test"])
+            tracker.log_metrics({f"test_{k}": v for k, v in test_metrics.items()
+                                 if isinstance(v, (int, float))})
+            _write_json(os.path.join(root, "data/08_reporting/test_metrics.json"), test_metrics)
+
+        # save_model equivalent (reference nodes.py:953-964 + model_path.txt)
+        model_path = os.path.join(out_dir, "best")
+        with open(os.path.join(root, "data/08_reporting/model_path.txt"), "w") as f:
+            f.write(model_path)
+        tracker.end_run()
+        return {"history": history, "test_metrics": test_metrics, "model_path": model_path}
+    except Exception:
+        tracker.end_run("FAILED")
+        raise
+
+
+def run_validation_pipeline(
+    variant: str,
+    params: Mapping[str, Any],
+    root: str = ".",
+    tracker: Optional[Tracker] = None,
+    splits=None,
+    store=None,
+    tokenizer=None,
+) -> Dict[str, Any]:
+    """Load trained checkpoint → evaluate on test
+    (reference: vilbert_validate, pipeline.py:262-285)."""
+    ex = experiment_from_parameters(params, variant)
+    tracker = tracker or NullTracker()
+    if splits is None:
+        splits = run_data_processing(params, root)
+    if store is None:
+        store = make_feature_store(variant, ex, root)
+    datasets = build_datasets(splits, ex, store, tokenizer)
+    loader = BatchLoader(datasets["test"], ex.training.batch_size)
+    model, params_tree = build_model_and_params(ex, root)
+    trainer = Trainer(model, ex, tracker=tracker,
+                      checkpoint_dir=os.path.join(root, ex.output_dir))
+    if trainer.ckpt.exists("best"):
+        params_tree = trainer.ckpt.restore("best")["params"]
+    metrics = trainer.evaluate(params_tree, loader)
+    _write_json(os.path.join(root, "data/08_reporting/validation_metrics.json"), metrics)
+    return metrics
+
+
+def run_inference_pipeline(
+    variant: str,
+    params: Mapping[str, Any],
+    root: str = ".",
+    use_local_checkpoint: bool = True,
+    splits=None,
+    store=None,
+    tokenizer=None,
+) -> pd.DataFrame:
+    """Predictions DataFrame + CSV (reference: run_inference nodes.py:967-1009,
+    predictions.csv catalog.yml:61-63)."""
+    ex = experiment_from_parameters(params, variant)
+    if splits is None:
+        splits = run_data_processing(params, root)
+    if store is None:
+        store = make_feature_store(variant, ex, root)
+    datasets = build_datasets(splits, ex, store, tokenizer)
+    ds = datasets["test"]
+    loader = BatchLoader(ds, ex.training.batch_size)
+    model, params_tree = build_model_and_params(ex, root)
+    trainer = Trainer(model, ex, checkpoint_dir=os.path.join(root, ex.output_dir))
+    if use_local_checkpoint and trainer.ckpt.exists("best"):
+        params_tree = trainer.ckpt.restore("best")["params"]
+
+    from multimodal_classification_tpu.training.train import make_eval_step
+
+    eval_step = jax.jit(make_eval_step(model))
+    rows = []
+    i = 0
+    for batch in loader:
+        logits = np.asarray(eval_step(params_tree, trainer.put_batch(model_inputs(batch))))
+        keep = batch["weights"] > 0
+        z = logits - logits.max(-1, keepdims=True)
+        p = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
+        for j in np.nonzero(keep)[0]:
+            rows.append(
+                {
+                    "id": ds.ids[i],
+                    "proba_hateful": float(p[j, 1]),
+                    "prediction": int(p[j, 1] >= 0.5),
+                    "label": int(batch["labels"][j]),
+                }
+            )
+            i += 1
+    df = pd.DataFrame(rows)
+    out = os.path.join(root, "data/07_model_output/predictions.csv")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    df.to_csv(out, index=False)
+    if (df["label"] >= 0).all() and df["label"].nunique() > 1:
+        from multimodal_classification_tpu.training.metrics import binary_metrics
+
+        m = binary_metrics(df["label"].to_numpy(), df["proba_hateful"].to_numpy())
+        _write_json(os.path.join(root, "data/08_reporting/inference_metrics.json"), m)
+    return df

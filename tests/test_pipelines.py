@@ -1,0 +1,150 @@
+"""End-to-end pipeline tests: the vilbert_lmdb_train slice (fabricated
+detectron.lmdb + JSONL splits + tiny model) through training, validation, and
+inference — the reference's minimum end-to-end path (SURVEY.md §7 step 3)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_classification_tpu.data.lmdb_store import write_feature_lmdb
+from multimodal_classification_tpu.data.tokenizer import build_test_vocab
+from multimodal_classification_tpu.pipelines.base import (
+    run_data_processing,
+    run_inference_pipeline,
+    run_training_pipeline,
+    run_validation_pipeline,
+)
+from multimodal_classification_tpu.registry import list_available_pipelines
+from multimodal_classification_tpu.utils.tracking import Tracker
+from tests.fixtures import make_dataset_dir
+
+
+@pytest.fixture(scope="module")
+def project(tmp_path_factory):
+    """Fabricated project root: dataset JSONLs + LMDB features + vocab."""
+    root = tmp_path_factory.mktemp("proj")
+    data_dir = root / "data/01_raw/hateful_memes"
+    data_dir.mkdir(parents=True)
+    _, dfs = make_dataset_dir(data_dir, n_train=48, n_val=24, n_test=24)
+
+    # features with injected label signal so the tiny model can learn
+    all_ids, all_labels = [], []
+    for df in dfs.values():
+        all_ids += df["id"].tolist()
+        all_labels += df["label"].tolist()
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((len(all_ids), 10, 128)).astype(np.float32)
+    feats[:, :, :8] += np.asarray(all_labels, np.float32)[:, None, None] * 4.0
+    boxes = rng.uniform(0, 1000, (len(all_ids), 10, 4)).astype(np.float32)
+    lmdb_dir = root / "data/01_raw/lmdb_features"
+    lmdb_dir.mkdir(parents=True)
+    write_feature_lmdb(str(lmdb_dir / "detectron.lmdb"), all_ids, feats, boxes)
+
+    vocab = build_test_vocab()
+    vocab_path = root / "vocab.txt"
+    with open(vocab_path, "w") as f:
+        for tok in sorted(vocab, key=vocab.get):
+            f.write(tok + "\n")
+
+    params = {
+        "data_processing": {
+            "data_dir": "data/01_raw/hateful_memes",
+            "use_dev_as_val": True,
+            "random_seed": 42,
+            "lowercase": True,
+        },
+        "training": {
+            "batch_size": 16,
+            "num_epochs": 6,
+            "learning_rate": 1.0e-3,
+            "warmup_steps": 4,
+            "early_stopping_patience": 5,
+            "loss_type": "ce",
+            "mesh_shape": [-1, 1],
+        },
+        "vilbert": {
+            "max_seq_length": 16,
+            "max_regions": 10,
+            "tokenizer_vocab": str(vocab_path),
+            "output_dir": "data/05_model_output",
+            # tiny model dims (facebook topology)
+            "hidden_size": 32, "num_attention_heads": 2, "num_hidden_layers": 2,
+            "intermediate_size": 64, "vocab_size": len(vocab),
+            "v_hidden_size": 32, "v_num_attention_heads": 2,
+            "v_num_hidden_layers": 1, "v_intermediate_size": 32,
+            "bi_hidden_size": 32, "bi_num_attention_heads": 2,
+            "co_attention_text_layers": [1], "v_feature_size": 128,
+            "classifier_hidden_size": 32, "dtype": "float32",
+            "use_pallas_attention": False,
+        },
+        "vilbert_lmdb": {
+            "lmdb_path": "data/01_raw/lmdb_features/detectron.lmdb",
+            "output_dir": "data/05_model_output/lmdb",
+        },
+        "training_lmdb": {"batch_size": 16},
+    }
+    return str(root), params
+
+
+class TestRegistry:
+    def test_all_reference_pipeline_names_present(self):
+        names = set(list_available_pipelines())
+        for required in [
+            "__default__", "data_processing", "vilbert", "vilbert_train",
+            "vilbert_frcnn_train", "vilbert_frcnn_resnet152_train",
+            "vilbert_dinov2_train", "vilbert_dinov2_multilayer_train",
+            "vilbert_vg_train", "vilbert_vg_rpn_train", "vilbert_resnet_vg_train",
+            "vilbert_resnet152_grid_train", "vilbert_resnet152_roi_train",
+            "vilbert_precomputed_train", "vilbert_lmdb_train", "vilbert_x152_train",
+            "vilbert_validate", "vilbert_inference", "vilbert_inference_local",
+            "model_training", "model_training_lmdb", "model_validation",
+            "model_inference", "model_inference_local",
+        ]:
+            assert required in names, required
+
+
+class TestLmdbTrainPipeline:
+    def test_data_processing(self, project):
+        root, params = project
+        splits = run_data_processing(params, root)
+        assert set(splits) == {"train", "val", "test"}
+        info = json.load(open(os.path.join(root, "data/08_reporting/data_splits_info.json")))
+        assert info["train"]["num_samples"] == 48
+
+    def test_train_evaluate_save(self, project):
+        root, params = project
+        lmdb_abs = os.path.join(root, "data/01_raw/lmdb_features/detectron.lmdb")
+        params = {**params, "vilbert_lmdb": {**params["vilbert_lmdb"], "lmdb_path": lmdb_abs}}
+        tracker = Tracker(root=os.path.join(root, "mlruns"), experiment="test")
+        result = run_training_pipeline("lmdb", params, root, tracker)
+        assert len(result["history"]["val_auroc"]) >= 1
+        assert result["history"]["val_auroc"][-1] > 0.8  # signal is learnable
+        assert result["test_metrics"]["auroc"] > 0.8
+        for artifact in (
+            "data/08_reporting/training_history.json",
+            "data/08_reporting/test_metrics.json",
+            "data/08_reporting/model_path.txt",
+        ):
+            assert os.path.exists(os.path.join(root, artifact)), artifact
+        # mlruns file-store has per-epoch metrics
+        exp_dirs = [d for d in os.listdir(os.path.join(root, "mlruns"))]
+        assert exp_dirs
+
+    def test_validate_pipeline_restores_checkpoint(self, project):
+        root, params = project
+        lmdb_abs = os.path.join(root, "data/01_raw/lmdb_features/detectron.lmdb")
+        params = {**params, "vilbert_lmdb": {**params["vilbert_lmdb"], "lmdb_path": lmdb_abs}}
+        metrics = run_validation_pipeline("lmdb", params, root)
+        assert metrics["auroc"] > 0.8
+        assert os.path.exists(os.path.join(root, "data/08_reporting/validation_metrics.json"))
+
+    def test_inference_pipeline_writes_predictions(self, project):
+        root, params = project
+        lmdb_abs = os.path.join(root, "data/01_raw/lmdb_features/detectron.lmdb")
+        params = {**params, "vilbert_lmdb": {**params["vilbert_lmdb"], "lmdb_path": lmdb_abs}}
+        df = run_inference_pipeline("lmdb", params, root)
+        assert len(df) == 24
+        assert {"id", "proba_hateful", "prediction", "label"} <= set(df.columns)
+        assert os.path.exists(os.path.join(root, "data/07_model_output/predictions.csv"))
