@@ -1,0 +1,85 @@
+"""Pallas fused-attention kernel parity vs the XLA reference implementation.
+
+On the CPU test backend the kernel runs in interpreter mode (same code path
+as Mosaic modulo compilation); bench/TPU runs exercise the compiled kernel.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_classification_tpu.ops.attention import _attention_xla, mask_to_bias
+from multimodal_classification_tpu.ops.pallas_kernels import attention as pk
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    """Force interpret mode for pallas_call on CPU."""
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(orig, interpret=jax.devices()[0].platform != "tpu")
+    )
+
+
+def _mk(rng, b, h, sq, skv, d, dtype=np.float32):
+    q = rng.standard_normal((b, h, sq, d)).astype(dtype)
+    k = rng.standard_normal((b, h, skv, d)).astype(dtype)
+    v = rng.standard_normal((b, h, skv, d)).astype(dtype)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+class TestFusedAttention:
+    @pytest.mark.parametrize("sq,skv,d", [(128, 128, 64), (128, 100, 128), (100, 128, 64), (12, 10, 32)])
+    def test_matches_xla_no_bias(self, rng, sq, skv, d):
+        q, k, v = _mk(rng, 2, 3, sq, skv, d)
+        got = pk.fused_attention(q, k, v, None)
+        want = _attention_xla(q, k, v, None, 0.0, None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("sq,skv,d", [(16, 100, 64), (128, 100, 128)])
+    def test_matches_xla_with_mask_bias(self, rng, sq, skv, d):
+        q, k, v = _mk(rng, 2, 2, sq, skv, d)
+        mask = (rng.uniform(size=(2, skv)) > 0.3).astype(np.float32)
+        bias = mask_to_bias(jnp.asarray(mask))
+        got = pk.fused_attention(q, k, v, bias)
+        want = _attention_xla(q, k, v, bias, 0.0, None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def test_supports_rejects_bad_shapes(self, rng):
+        q, k, v = _mk(rng, 1, 1, 8, 8, 16)
+        assert pk.supports(q, k, v, None)
+        assert not pk.supports(q[0], k, v, None)
+        assert not pk.supports(q, k, v, jnp.zeros((1, 1, 1, 99)))
+        big = jnp.zeros((1, 1, 4096, 16))
+        assert not pk.supports(big, big, big, None)
+
+    def test_gradients_flow_through_custom_vjp(self, rng):
+        q, k, v = _mk(rng, 1, 2, 16, 12, 32)
+        mask = (rng.uniform(size=(1, 12)) > 0.2).astype(np.float32)
+        bias = mask_to_bias(jnp.asarray(mask))
+
+        def loss_fused(q, k, v):
+            return jnp.sum(pk.fused_attention(q, k, v, bias) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_attention_xla(q, k, v, bias, 0.0, None) ** 2)
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+    def test_bfloat16_io(self, rng):
+        q, k, v = _mk(rng, 1, 2, 32, 24, 64)
+        qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+        got = pk.fused_attention(qb, kb, vb, None)
+        assert got.dtype == jnp.bfloat16
+        want = _attention_xla(q, k, v, None, 0.0, None)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want), rtol=2e-2, atol=2e-2
+        )
