@@ -115,7 +115,8 @@ def _roi_pool_naive(f, boxes, out, scale):
 
 
 def _nms_naive(boxes, scores, thr):
-    order = np.argsort(-scores)
+    # stable: ties broken by lowest index (matches our argmax convention)
+    order = np.argsort(-scores, kind="stable")
     keep = []
     alive = np.ones(len(boxes), bool)
     areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
