@@ -76,6 +76,10 @@ def run_data_processing(
         random_seed=dp.get("random_seed", 42),
     )
     splits = {k: preprocess_data(v, dp) for k, v in splits.items()}
+    if dp.get("use_captions", False):
+        from multimodal_classification_tpu.data.augment import enrich_with_captions
+
+        splits = {k: enrich_with_captions(v, dp) for k, v in splits.items()}
     stats = compute_dataset_statistics(splits)
     _write_json(os.path.join(root, "data/08_reporting/data_splits_info.json"), stats)
     return splits

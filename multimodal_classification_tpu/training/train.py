@@ -202,13 +202,29 @@ class Trainer:
         steps_per_epoch: int,
         init_params=None,
         rng_seed: Optional[int] = None,
+        resume: bool = False,
     ) -> Tuple[TrainState, Dict[str, list]]:
+        """Train with per-epoch validation + early stopping.
+
+        ``resume=True`` restores the "last" checkpoint (params only; a fresh
+        optimizer continues from the restored weights) — mid-run resume the
+        reference lacks entirely (SURVEY.md §5: best state lives in RAM).
+        """
         tcfg = self.tcfg
         seed = tcfg.seed if rng_seed is None else rng_seed
         rng = jax.random.key(seed)
 
         if init_params is None:
             raise ValueError("init_params required (use models.init_params)")
+        start_epoch = 1
+        if resume and self.ckpt.exists("last"):
+            restored = self.ckpt.restore("last")
+            init_params = jax.tree.map(
+                lambda a, b: np.asarray(b, a.dtype) if hasattr(a, "dtype") else b,
+                init_params, restored["params"],
+            )
+            start_epoch = int(restored.get("epoch", 0)) + 1
+            logger.info("resumed from epoch %d", start_epoch - 1)
         total_steps = steps_per_epoch * tcfg.num_epochs
         state, train_step, eval_step = self.init_state(init_params, total_steps)
 
@@ -230,7 +246,7 @@ class Trainer:
         best_auroc, patience, best_epoch = 0.0, 0, 0
         dropout_rng = jax.random.fold_in(rng, 1)
 
-        for epoch in range(1, tcfg.num_epochs + 1):
+        for epoch in range(start_epoch, tcfg.num_epochs + 1):
             t0 = time.time()
             losses, n_seen = [], 0
             for batch in train_data():

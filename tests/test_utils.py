@@ -1,0 +1,117 @@
+"""Tests for tracking (mlruns format), plots, augmentation, profiling."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodal_classification_tpu.data.augment import (
+    TextAugmenter,
+    augment_dataset,
+    enrich_with_captions,
+)
+from multimodal_classification_tpu.utils.plots import (
+    best_run_per_model,
+    collect_runs,
+    generate_plots,
+)
+from multimodal_classification_tpu.utils.tracking import Tracker
+
+
+class TestTracker:
+    def test_mlruns_file_store_layout(self, tmp_path):
+        t = Tracker(root=str(tmp_path / "mlruns"), experiment="exp1")
+        run_id = t.start_run("my_run")
+        t.log_params({"lr": 1e-5, "batch_size": 16})
+        t.log_metrics({"val_auroc": 0.7, "train_loss": 0.6}, step=1)
+        t.log_metrics({"val_auroc": 0.75}, step=2)
+        run_dir = t.run_dir
+        t.end_run()
+        # format parsed by the reference's generate_plots: "<ts> <val> <step>"
+        lines = open(os.path.join(run_dir, "metrics", "val_auroc")).read().splitlines()
+        assert len(lines) == 2
+        ts, val, step = lines[1].split()
+        assert float(val) == 0.75 and int(step) == 2
+        assert open(os.path.join(run_dir, "params", "lr")).read() == "1e-05"
+        assert open(os.path.join(run_dir, "tags", "mlflow.runName")).read() == "my_run"
+
+    def test_experiment_reuse(self, tmp_path):
+        t1 = Tracker(root=str(tmp_path / "m"), experiment="same")
+        t2 = Tracker(root=str(tmp_path / "m"), experiment="same")
+        assert t1.exp_id == t2.exp_id
+
+
+class TestPlots:
+    def _fake_runs(self, root):
+        t = Tracker(root=str(root), experiment="e")
+        for name, aurocs in (("vilbert_lmdb", [0.6, 0.7, 0.75]),
+                             ("vilbert_lmdb", [0.5, 0.6]),
+                             ("vilbert_dinov2", [0.65, 0.7])):
+            t.start_run(name)
+            for i, a in enumerate(aurocs, 1):
+                t.log_metrics({"val_auroc": a, "train_loss": 1.0 / i}, step=i)
+            t.end_run()
+
+    def test_collect_and_best(self, tmp_path):
+        self._fake_runs(tmp_path / "mlruns")
+        runs = collect_runs(str(tmp_path / "mlruns"))
+        assert len(runs) == 3
+        best = best_run_per_model(runs)
+        assert best["vilbert_lmdb"]["final_auroc"] == 0.75
+
+    def test_generate_plots_writes_pngs(self, tmp_path):
+        self._fake_runs(tmp_path / "mlruns")
+        written = generate_plots(str(tmp_path / "mlruns"), str(tmp_path / "plots"))
+        assert len(written) == 2
+        for p in written:
+            assert os.path.getsize(p) > 1000
+
+
+class TestAugment:
+    def test_word_shuffle_preserves_ends(self):
+        aug = TextAugmenter(seed=1)
+        text = "alpha beta gamma delta epsilon"
+        out = aug.word_shuffle(text)
+        words = out.split()
+        assert words[0] == "alpha" and words[-1] == "epsilon"
+        assert sorted(words) == sorted(text.split())
+
+    def test_augment_dataset_expands(self):
+        df = pd.DataFrame({"id": ["1", "2"], "text": ["a b c d e", "f g h i j"]})
+        out = augment_dataset(df, methods=["shuffle"], seed=0)
+        assert len(out) == 4
+
+    def test_caption_enrichment_from_cache_offline(self, tmp_path):
+        """Cache-only path: captions appended as 'text [SEP] caption'."""
+        cache = tmp_path / "captions.csv"
+        pd.DataFrame({"id": ["1"], "caption": ["a dog on a skateboard"]}).to_csv(
+            cache, index=False
+        )
+        df = pd.DataFrame({"id": ["1", "2"], "text_clean": ["hello", "world"],
+                           "img_path": ["/nonexistent/x.png", "/nonexistent/y.png"]})
+        out = enrich_with_captions(
+            df, {"use_captions": True, "caption_cache_path": str(cache)}
+        )
+        assert out["text_clean"].iloc[0] == "hello [SEP] a dog on a skateboard"
+        assert out["text_clean"].iloc[1] == "world"
+
+    def test_enrichment_disabled_is_identity(self):
+        df = pd.DataFrame({"id": ["1"], "text_clean": ["x"]})
+        out = enrich_with_captions(df, {"use_captions": False})
+        pd.testing.assert_frame_equal(out, df)
+
+
+class TestProfiling:
+    def test_step_timer_stats(self):
+        import time
+
+        from multimodal_classification_tpu.utils.profiling import StepTimer
+
+        t = StepTimer(warmup=1)
+        for _ in range(4):
+            with t:
+                time.sleep(0.001)
+        s = t.stats()
+        assert s["steps"] == 3
+        assert s["mean_s"] > 0
