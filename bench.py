@@ -24,6 +24,10 @@ import os
 import sys
 import time
 
+# persistent XLA compilation cache: repeat bench runs skip the 30-60s compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 import numpy as np
 
 REFERENCE_MEMES_PER_SEC_ESTIMATE = 100.0

@@ -128,6 +128,91 @@ def convert_facebook_vilbert(
     return p
 
 
+CORE_PREFIXES = ("module.", "model.", "vilbert.")
+
+
+def normalize_core_keys(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Strip wrapper prefixes the HF-hub checkpoints carry
+    (reference vilbert_hf.py:183-198 candidate-key loop)."""
+    out = {}
+    for k, v in state_dict.items():
+        for p in CORE_PREFIXES:
+            if k.startswith(p):
+                k = k[len(p):]
+        out[k] = v
+    return out
+
+
+def convert_core_vilbert(
+    state_dict: Mapping[str, Any], cfg: ViLBERTConfig
+) -> Dict[str, Any]:
+    """Convert a core-variant (symmetric 768-d) ViLBERT torch state dict —
+    the layout of reference models/vilbert_core.py as saved by
+    ViLBERTForClassification (``vilbert.*`` + ``classifier.*`` keys) and the
+    HF-hub ``visualjoyce/transformers4vl-vilbert`` checkpoints.
+    """
+    sd = normalize_core_keys(state_dict)
+    sd = {k: v for k, v in sd.items() if not k.startswith("cls.")}
+    p: Dict[str, Any] = {}
+
+    # text embeddings (from the wrapped HF BertModel)
+    for name in ("word_embeddings", "position_embeddings", "token_type_embeddings"):
+        key = f"bert.embeddings.{name}"
+        if key + ".weight" in sd:
+            _embed(p, ("bert", "embeddings", name), sd, key)
+    if "bert.embeddings.LayerNorm.weight" in sd:
+        _layernorm(p, ("bert", "embeddings", "LayerNorm"), sd, "bert.embeddings.LayerNorm")
+
+    # visual embeddings (vilbert_core.py:419-480: image/location/position + LN)
+    ve = "visual_embeddings"
+    if f"{ve}.image_embeddings.weight" in sd:
+        _linear(p, ("bert", "v_embeddings", "image_embeddings"), sd, f"{ve}.image_embeddings")
+        _linear(
+            p, ("bert", "v_embeddings", "image_location_embeddings"), sd,
+            f"{ve}.location_embeddings",
+        )
+        _embed(p, ("bert", "v_embeddings", "position_embeddings"), sd,
+               f"{ve}.position_embeddings")
+        _layernorm(p, ("bert", "v_embeddings", "LayerNorm"), sd, f"{ve}.LayerNorm")
+
+    def cross_attn(flax_prefix, torch_prefix):
+        for qkv in ("query", "key", "value"):
+            _linear(p, flax_prefix + (qkv,), sd, f"{torch_prefix}.self.{qkv}")
+
+    for i in range(cfg.num_hidden_layers):
+        if f"encoder.t_layer.{i}.attention.self.query.weight" in sd:
+            _bert_layer(p, ("bert", "encoder", f"layer_{i}"), sd, f"encoder.t_layer.{i}")
+    for i in range(cfg.v_num_hidden_layers):
+        if f"encoder.v_layer.{i}.attention.self.query.weight" in sd:
+            _bert_layer(p, ("bert", "encoder", f"v_layer_{i}"), sd, f"encoder.v_layer.{i}")
+    for i in range(len(cfg.co_attention_text_layers)):
+        base = f"encoder.c_layer.{i}"
+        if f"{base}.biattention_v.self.query.weight" not in sd:
+            continue
+        cl = ("bert", "encoder", f"c_layer_{i}")
+        cross_attn(cl + ("biattention_v",), f"{base}.biattention_v")
+        _linear(p, cl + ("v_output_attn", "dense"), sd, f"{base}.biattention_v.output.dense")
+        _layernorm(p, cl + ("v_output_attn", "LayerNorm"), sd, f"{base}.biattention_v.output.LayerNorm")
+        cross_attn(cl + ("biattention_t",), f"{base}.biattention_t")
+        _linear(p, cl + ("t_output_attn", "dense"), sd, f"{base}.biattention_t.output.dense")
+        _layernorm(p, cl + ("t_output_attn", "LayerNorm"), sd, f"{base}.biattention_t.output.LayerNorm")
+        _linear(p, cl + ("intermediate_v", "dense"), sd, f"{base}.intermediate_v.dense")
+        _linear(p, cl + ("output_v", "dense"), sd, f"{base}.output_v.dense")
+        _layernorm(p, cl + ("output_v", "LayerNorm"), sd, f"{base}.output_v.LayerNorm")
+        _linear(p, cl + ("intermediate_t", "dense"), sd, f"{base}.intermediate_t.dense")
+        _linear(p, cl + ("output_t", "dense"), sd, f"{base}.output_t.dense")
+        _layernorm(p, cl + ("output_t", "LayerNorm"), sd, f"{base}.output_t.LayerNorm")
+
+    # poolers (Sequential(Linear, Tanh) → index 0) and classifier head
+    if "t_pooler.0.weight" in sd:
+        _linear(p, ("bert", "t_pooler", "dense"), sd, "t_pooler.0")
+        _linear(p, ("bert", "v_pooler", "dense"), sd, "v_pooler.0")
+    if "classifier.1.weight" in sd:
+        _linear(p, ("classifier_dense",), sd, "classifier.1")
+        _linear(p, ("classifier_out",), sd, "classifier.4")
+    return p
+
+
 def merge_params(
     init_params: Mapping[str, Any], loaded: Mapping[str, Any]
 ) -> Tuple[Dict[str, Any], int, int]:
