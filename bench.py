@@ -118,12 +118,14 @@ def main() -> int:
         it = batches()
         for _ in range(WARMUP_STEPS):
             state, m = train_step(state, trainer.put_batch(next(it)), rng_key)
-        jax.block_until_ready(m["loss"])
+        # fetch the VALUE (device→host) — on remote/tunneled backends
+        # block_until_ready can return before compute completes
+        _ = float(m["loss"])
 
         t0 = time.perf_counter()
         for _ in range(MEASURE_STEPS):
             state, m = train_step(state, trainer.put_batch(next(it)), rng_key)
-        jax.block_until_ready(m["loss"])
+        _ = float(m["loss"])
         dt = time.perf_counter() - t0
 
     memes_per_sec = MEASURE_STEPS * BATCH_SIZE / dt

@@ -104,6 +104,9 @@ def write_hdf5_features(
     offline precompute pipeline and test fixtures."""
     import h5py
 
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     with h5py.File(path, "w") as f:
         f.create_dataset("visual_features", data=np.asarray(features, np.float32))
         f.create_dataset("spatial_features", data=np.asarray(spatial, np.float32))

@@ -184,6 +184,15 @@ def run_training_pipeline(
             splits = run_data_processing(params, root)
         if store is None:
             store = make_feature_store(variant, ex, root)
+        if hasattr(store, "precompute"):
+            # batched extraction for all images up front + HDF5 persistence
+            # (replaces the reference's per-image __getitem__ extraction)
+            ids, paths = [], []
+            for df in splits.values():
+                ids.extend(df["id"].astype(str).tolist())
+                paths.extend(df.get("img", df["id"]).astype(str).tolist())
+            n = store.precompute(ids, paths, persist=True)
+            logger.info("precomputed features for %d images", n)
         datasets = build_datasets(splits, ex, store, tokenizer)
         loaders = {
             name: BatchLoader(

@@ -173,6 +173,12 @@ class Trainer:
             smoothing=self.tcfg.label_smoothing,
             class_weights=self.tcfg.class_weights,
         )
+        dp = self.mesh.shape.get("dp", 1)
+        if self.tcfg.batch_size % dp != 0:
+            raise ValueError(
+                f"batch_size {self.tcfg.batch_size} must be divisible by the "
+                f"dp mesh axis ({dp} devices)"
+            )
         self._batch_sharding = batch_sharding(self.mesh)
         self.history: Dict[str, list] = {"train_loss": [], "val_loss": [], "val_auroc": []}
 
