@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 
@@ -28,9 +29,10 @@ def main(argv=None) -> int:
     list_p.add_argument("what", choices=["pipelines", "models", "extractors"])
 
     args = parser.parse_args(argv)
-    logging.basicConfig(
-        level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
-    )
+    from multimodal_classification_tpu.utils.logging import setup_logging
+
+    setup_logging(log_dir=os.path.join(getattr(args, "root", "."), "logs")
+                  if args.command == "run" else None)
 
     if args.command == "list":
         from multimodal_classification_tpu import registry

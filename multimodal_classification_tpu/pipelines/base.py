@@ -151,13 +151,19 @@ def build_model_and_params(ex: ExperimentConfig, root: str = "."):
         path = ckpt if os.path.isabs(ckpt) else os.path.join(root, ckpt)
         if os.path.exists(path):
             from multimodal_classification_tpu.models.convert import (
+                convert_core_vilbert,
                 convert_facebook_vilbert,
                 load_torch_checkpoint,
                 merge_params,
             )
 
             sd = load_torch_checkpoint(path)
-            loaded = convert_facebook_vilbert(sd, ex.model)
+            # FB asymmetric arch uses shared bi-attention (pooling="cls");
+            # the core/HF variant has per-direction cross-attention
+            convert = (
+                convert_facebook_vilbert if ex.model.pooling == "cls" else convert_core_vilbert
+            )
+            loaded = convert(sd, ex.model)
             params, n, total = merge_params(params, loaded)
             logger.info("loaded %d/%d param tensors from %s", n, total, path)
         else:
