@@ -109,7 +109,7 @@ def main() -> int:
         first = next(iter(loader))
         params = model.init(jax.random.key(0), **model_inputs(first))["params"]
         state, train_step, _ = trainer.init_state(params, total_steps=10_000)
-        rng_key = jax.random.key(1)
+        rng_key = jax.random.key(1, impl=tcfg.rng_impl)
 
         def batches():
             while True:

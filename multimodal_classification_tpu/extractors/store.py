@@ -75,8 +75,16 @@ class ExtractorFeatureStore(FeatureStore):
 
     def _compute_batch(self, paths: List[str]) -> Tuple[np.ndarray, np.ndarray]:
         h, w = self.extractor.image_size
-        imgs = np.stack([load_image(p, (h, w)) for p in paths])
-        feats, spatial = self.extractor.extract_batch(self.params, imgs)
+        imgs = []
+        for p in paths:
+            try:
+                imgs.append(load_image(p, (h, w)))
+            except Exception as e:
+                # catch-log-continue per image, zeros fallback
+                # (reference nodes.py:139-153)
+                logger.warning("failed to load %s (%s); zeros", p, e)
+                imgs.append(np.zeros((h, w, 3), np.float32))
+        feats, spatial = self.extractor.extract_batch(self.params, np.stack(imgs))
         return np.asarray(feats), np.asarray(spatial)
 
     def precompute(

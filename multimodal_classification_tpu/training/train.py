@@ -218,7 +218,7 @@ class Trainer:
         """
         tcfg = self.tcfg
         seed = tcfg.seed if rng_seed is None else rng_seed
-        rng = jax.random.key(seed)
+        rng = jax.random.key(seed, impl=tcfg.rng_impl)
 
         if init_params is None:
             raise ValueError("init_params required (use models.init_params)")
