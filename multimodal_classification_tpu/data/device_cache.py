@@ -1,0 +1,154 @@
+"""Device-resident dataset: keep precomputed features in HBM, gather on device.
+
+TPU-first observation: the headline pipeline trains on *precomputed* region
+features (Facebook's LMDB: 8500 train examples × 100×2048). In bf16 that is
+~3.5 GB — it fits in a v5e's 16 GB HBM alongside the 250M-param model and
+optimizer state. Uploading the tensorised dataset **once** and gathering each
+batch by index inside the jitted train step eliminates the per-step
+host→device feed entirely (the reference re-reads LMDB + re-tokenises per
+item per epoch; even our prefetching loader still pays per-step transfer,
+which dominates on low-bandwidth host links).
+
+Multi-chip dp: shard the example axis over the mesh's ``dp`` axis and draw
+per-device indices from the local shard (each device gathers locally; no
+collectives on the input path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_classification_tpu.data.loader import MemesDataset
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeviceData:
+    """Tensorised dataset resident on device (leaves are jnp arrays)."""
+
+    input_ids: jnp.ndarray  # [N, L] int32
+    attention_mask: jnp.ndarray  # [N, L] bf16/f32
+    token_type_ids: jnp.ndarray  # [N, L] int32
+    visual_features: jnp.ndarray  # [N, R, D] (wire dtype, e.g. bf16)
+    visual_attention_mask: jnp.ndarray  # [N, R]
+    spatial_locations: jnp.ndarray  # [N, R, 5]
+    labels: jnp.ndarray  # [N] int32
+
+    @property
+    def num_examples(self) -> int:
+        return self.input_ids.shape[0]
+
+    def gather(self, indices: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Batch by index — runs on device inside the jitted step."""
+        batch = {
+            "input_ids": jnp.take(self.input_ids, indices, axis=0),
+            "attention_mask": jnp.take(self.attention_mask, indices, axis=0),
+            "token_type_ids": jnp.take(self.token_type_ids, indices, axis=0),
+            "visual_features": jnp.take(self.visual_features, indices, axis=0),
+            "visual_attention_mask": jnp.take(self.visual_attention_mask, indices, axis=0),
+            "spatial_locations": jnp.take(self.spatial_locations, indices, axis=0),
+            "labels": jnp.take(self.labels, indices, axis=0),
+        }
+        return batch
+
+
+def build_device_data(
+    ds: MemesDataset,
+    feature_dtype=jnp.bfloat16,
+    sharding: Optional[jax.sharding.Sharding] = None,
+) -> DeviceData:
+    """Tensorise a MemesDataset and upload it (one transfer per field).
+
+    ``feature_dtype`` is the wire/storage dtype for the dense feature arrays —
+    bf16 matches the model's compute dtype, so no quality is lost relative to
+    the bf16 matmuls, at half the HBM/transfer cost.
+    """
+    n = len(ds)
+    feats = np.zeros((n, ds.max_regions, ds.feature_dim), np.float32)
+    spatial = np.zeros((n, ds.max_regions, 5), np.float32)
+    vmask = np.zeros((n, ds.max_regions), np.float32)
+    for i in range(n):
+        item = ds.get(i)
+        feats[i] = item["visual_features"]
+        spatial[i] = item["spatial_locations"]
+        vmask[i] = item["visual_attention_mask"]
+
+    def put(x):
+        if sharding is not None:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x)
+
+    import ml_dtypes  # numpy bf16 support (ships with jax)
+
+    np_dtype = np.dtype(feature_dtype) if feature_dtype != jnp.bfloat16 else ml_dtypes.bfloat16
+    return DeviceData(
+        input_ids=put(ds.input_ids.astype(np.int32)),
+        attention_mask=put(ds.attention_mask.astype(np_dtype)),
+        token_type_ids=put(ds.token_type_ids.astype(np.int32)),
+        visual_features=put(feats.astype(np_dtype)),
+        visual_attention_mask=put(vmask.astype(np_dtype)),
+        spatial_locations=put(spatial.astype(np_dtype)),
+        labels=put(ds.labels.astype(np.int32)),
+    )
+
+
+def epoch_indices(
+    num_examples: int, batch_size: int, epoch: int, seed: int = 42, drop_last: bool = True
+) -> Iterator[np.ndarray]:
+    """Deterministic per-epoch shuffled index batches (host-side ints only —
+    the sole thing crossing the wire per step)."""
+    rng = np.random.default_rng((seed, epoch))
+    order = rng.permutation(num_examples)
+    end = num_examples - (num_examples % batch_size) if drop_last else num_examples
+    for start in range(0, end, batch_size):
+        chunk = order[start : start + batch_size]
+        if len(chunk) < batch_size:
+            chunk = np.concatenate([chunk, order[: batch_size - len(chunk)]])
+        yield chunk.astype(np.int32)
+
+
+def make_device_train_step(model, loss_fn, tx):
+    """Jitted train step over device-resident data: (state, data, indices, rng).
+
+    The gather happens inside the compiled program — batch bytes never cross
+    the host link.
+    """
+    from multimodal_classification_tpu.training.train import TrainState, model_inputs
+
+    import optax
+
+    def step(state: "TrainState", data: DeviceData, indices: jnp.ndarray, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        batch = data.gather(indices)
+
+        def loss_of(params):
+            out = model.apply(
+                {"params": params},
+                **model_inputs(batch),
+                deterministic=False,
+                rngs={"dropout": rng},
+            )
+            return loss_fn(out["logits"], batch["labels"], None)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), {"loss": loss}
+
+    return step
+
+
+def make_device_eval_step(model):
+    from multimodal_classification_tpu.training.train import model_inputs
+
+    def eval_step(params, data: DeviceData, indices: jnp.ndarray):
+        batch = data.gather(indices)
+        out = model.apply({"params": params}, **model_inputs(batch), deterministic=True)
+        return out["logits"].astype(jnp.float32)
+
+    return eval_step

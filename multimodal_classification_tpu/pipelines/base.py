@@ -210,11 +210,21 @@ def run_training_pipeline(
         model, init_params = build_model_and_params(ex, root)
         out_dir = os.path.join(root, ex.output_dir)
         trainer = Trainer(model, ex, tracker=tracker, checkpoint_dir=out_dir)
-        state, history = trainer.fit(
-            loaders["train"], loaders["val"],
-            steps_per_epoch=len(loaders["train"]),
-            init_params=init_params,
+        use_device_resident = (
+            ex.data.device_resident
+            and trainer.mesh.shape.get("dp", 1) == 1
+            and trainer.mesh.shape.get("mp", 1) == 1
         )
+        if use_device_resident:
+            state, history = trainer.fit_device_resident(
+                datasets["train"], datasets["val"], init_params
+            )
+        else:
+            state, history = trainer.fit(
+                loaders["train"], loaders["val"],
+                steps_per_epoch=len(loaders["train"]),
+                init_params=init_params,
+            )
         _write_json(os.path.join(root, "data/08_reporting/training_history.json"), history)
 
         test_metrics: Dict[str, Any] = {}

@@ -305,6 +305,95 @@ class Trainer:
         return state, self.history
 
     # ------------------------------------------------------------------
+    def fit_device_resident(
+        self,
+        train_ds,
+        val_ds,
+        init_params,
+        rng_seed: Optional[int] = None,
+    ) -> Tuple[TrainState, Dict[str, list]]:
+        """Train with the whole tensorised dataset resident in HBM
+        (data/device_cache.py): batches gather by index inside the jitted
+        step; only int32 indices cross the host link. Single-chip dp only in
+        this round (multi-chip uses the host loader path)."""
+        from multimodal_classification_tpu.data.device_cache import (
+            build_device_data,
+            epoch_indices,
+            make_device_eval_step,
+            make_device_train_step,
+        )
+
+        if self.mesh.shape.get("dp", 1) != 1 or self.mesh.shape.get("mp", 1) != 1:
+            raise ValueError("device-resident training supports a 1-device mesh; "
+                             "use fit() for multi-chip")
+        tcfg = self.tcfg
+        seed = tcfg.seed if rng_seed is None else rng_seed
+        dtype = jnp.bfloat16 if self.cfg.model.dtype == "bfloat16" else jnp.float32
+        train_data = build_device_data(train_ds, feature_dtype=dtype)
+        val_data = build_device_data(val_ds, feature_dtype=dtype)
+
+        steps_per_epoch = max(train_data.num_examples // tcfg.batch_size, 1)
+        total_steps = steps_per_epoch * tcfg.num_epochs
+        tx = make_optimizer(tcfg, total_steps, init_params, self.cfg.freeze_bert_layers)
+        opt_state = tx.init(init_params)
+        state = TrainState(jnp.zeros((), jnp.int32), init_params, opt_state)
+        step = jax.jit(make_device_train_step(self.model, self.loss_fn, tx),
+                       donate_argnums=0)
+        eval_step = jax.jit(make_device_eval_step(self.model))
+        rng = jax.random.key(seed, impl=tcfg.rng_impl)
+
+        def eval_metrics(params) -> Dict[str, float]:
+            logits_all, labels_all = [], []
+            n = val_data.num_examples
+            for idx in epoch_indices(n, tcfg.batch_size, 0, seed=0, drop_last=False):
+                logits = np.asarray(eval_step(params, val_data, jnp.asarray(idx)))
+                logits_all.append(logits)
+                labels_all.append(np.asarray(val_data.labels)[idx])
+            logits = np.concatenate(logits_all)[:n]
+            labels = np.concatenate(labels_all)[:n]
+            z = logits - logits.max(-1, keepdims=True)
+            p = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
+            nll = -np.log(np.maximum(p[np.arange(len(labels)), labels], 1e-12)).mean()
+            return binary_metrics(labels, p[:, 1], loss=float(nll))
+
+        best_auroc, patience, best_epoch = 0.0, 0, 0
+        for epoch in range(1, tcfg.num_epochs + 1):
+            t0 = time.time()
+            losses = []
+            for idx in epoch_indices(train_data.num_examples, tcfg.batch_size,
+                                     epoch, seed=seed):
+                state, m = step(state, train_data, jnp.asarray(idx), rng)
+                losses.append(m["loss"])
+            train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else 0.0
+            vm = eval_metrics(state.params)
+            dt = time.time() - t0
+            self.history["train_loss"].append(train_loss)
+            self.history["val_loss"].append(vm.get("loss", float("nan")))
+            self.history["val_auroc"].append(vm["auroc"])
+            self.tracker.log_metrics(
+                {"train_loss": train_loss, "val_loss": vm.get("loss", float("nan")),
+                 "val_auroc": vm["auroc"], "val_accuracy": vm["accuracy"],
+                 "epoch_seconds": dt,
+                 "train_examples_per_sec": steps_per_epoch * tcfg.batch_size / max(dt, 1e-9)},
+                step=epoch,
+            )
+            logger.info("epoch %d: train_loss=%.4f val_auroc=%.4f (%.1fs, device-resident)",
+                        epoch, train_loss, vm["auroc"], dt)
+            if vm["auroc"] > best_auroc:
+                best_auroc, best_epoch, patience = vm["auroc"], epoch, 0
+                self.ckpt.save("best", {"params": state.params, "epoch": epoch,
+                                        "val_auroc": best_auroc})
+            else:
+                patience += 1
+                if patience >= tcfg.early_stopping_patience:
+                    break
+        if self.ckpt.exists("best"):
+            restored = self.ckpt.restore("best")
+            state = TrainState(state.step, restored["params"], state.opt_state)
+        self.tracker.log_metrics({"final_best_auroc": best_auroc}, step=best_epoch)
+        return state, self.history
+
+    # ------------------------------------------------------------------
     def evaluate(
         self,
         params,

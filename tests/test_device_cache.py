@@ -1,0 +1,106 @@
+"""Device-resident dataset tests: gather equivalence with the host-fed path
+and deterministic epoch indexing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_classification_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    TrainingConfig,
+    tiny_vilbert_config,
+)
+from multimodal_classification_tpu.data import (
+    DictFeatureStore,
+    MemesDataset,
+    WordPieceTokenizer,
+    build_test_vocab,
+)
+from multimodal_classification_tpu.data.device_cache import (
+    build_device_data,
+    epoch_indices,
+    make_device_eval_step,
+    make_device_train_step,
+)
+from multimodal_classification_tpu.models.vilbert import ViLBERTForClassification
+from multimodal_classification_tpu.training.losses import get_loss_function
+from multimodal_classification_tpu.training.train import make_eval_step, model_inputs
+from tests.fixtures import make_feature_arrays, make_memes_df
+
+
+def _dataset(n=20):
+    df = make_memes_df(n)
+    ids = df["id"].tolist()
+    feats, spatial = make_feature_arrays(ids, num_regions=6, dim=32)
+    store = DictFeatureStore(
+        {i: feats[k] for k, i in enumerate(ids)},
+        {i: spatial[k] for k, i in enumerate(ids)},
+    )
+    tok = WordPieceTokenizer(build_test_vocab())
+    return MemesDataset(df, tok, store, max_seq_length=12, max_regions=6, feature_dim=32)
+
+
+def test_gather_matches_host_batches():
+    ds = _dataset()
+    data = build_device_data(ds, feature_dtype=jnp.float32)
+    idx = jnp.asarray([3, 7, 11], jnp.int32)
+    batch = data.gather(idx)
+    for j, i in enumerate([3, 7, 11]):
+        item = ds.get(i)
+        np.testing.assert_allclose(
+            np.asarray(batch["visual_features"][j]), item["visual_features"], rtol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(batch["input_ids"][j]), item["input_ids"])
+        assert int(batch["labels"][j]) == int(item["labels"])
+
+
+def test_device_eval_matches_host_eval():
+    cfg = tiny_vilbert_config(
+        dtype="float32", use_pallas_attention=False, v_feature_size=32,
+    )
+    model = ViLBERTForClassification(cfg)
+    ds = _dataset()
+    data = build_device_data(ds, feature_dtype=jnp.float32)
+    idx = np.asarray([0, 1, 2, 3], np.int32)
+    host_batch = {k: np.stack([ds.get(int(i))[k] for i in idx]) for k in ds.get(0)}
+    params = model.init(jax.random.key(0), **model_inputs(host_batch))["params"]
+    host_logits = np.asarray(jax.jit(make_eval_step(model))(params, model_inputs(host_batch)))
+    dev_logits = np.asarray(
+        jax.jit(make_device_eval_step(model))(params, data, jnp.asarray(idx))
+    )
+    np.testing.assert_allclose(dev_logits, host_logits, rtol=1e-5, atol=1e-6)
+
+
+def test_device_train_step_decreases_loss():
+    import optax
+
+    cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False, v_feature_size=32)
+    model = ViLBERTForClassification(cfg)
+    ds = _dataset(32)
+    data = build_device_data(ds, feature_dtype=jnp.float32)
+    loss_fn = get_loss_function("ce")
+    tx = optax.adamw(1e-3)
+    from multimodal_classification_tpu.training.train import TrainState
+
+    batch0 = {k: np.stack([ds.get(i)[k] for i in range(4)]) for k in ds.get(0)}
+    params = model.init(jax.random.key(0), **model_inputs(batch0))["params"]
+    state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    step = jax.jit(make_device_train_step(model, loss_fn, tx))
+    rng = jax.random.key(1, impl="rbg")
+    losses = []
+    for e in range(3):
+        for idx in epoch_indices(data.num_examples, 8, e, seed=0):
+            state, m = step(state, data, jnp.asarray(idx), rng)
+            losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_epoch_indices_deterministic_and_complete():
+    a = list(epoch_indices(50, 8, epoch=1, seed=3))
+    b = list(epoch_indices(50, 8, epoch=1, seed=3))
+    assert all((x == y).all() for x, y in zip(a, b))
+    c = list(epoch_indices(50, 8, epoch=2, seed=3))
+    assert not all((x == y).all() for x, y in zip(a, c))
+    covered = np.concatenate(list(epoch_indices(50, 8, 0, drop_last=False)))
+    assert set(covered.tolist()) == set(range(50))

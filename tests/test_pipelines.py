@@ -140,6 +140,23 @@ class TestLmdbTrainPipeline:
         assert metrics["auroc"] > 0.8
         assert os.path.exists(os.path.join(root, "data/08_reporting/validation_metrics.json"))
 
+    def test_device_resident_training(self, project, tmp_path):
+        """HBM-resident dataset path (single-device mesh)."""
+        root, params = project
+        lmdb_abs = os.path.join(root, "data/01_raw/lmdb_features/detectron.lmdb")
+        params = {
+            **params,
+            "vilbert_lmdb": {
+                **params["vilbert_lmdb"], "lmdb_path": lmdb_abs,
+                "device_resident": True,
+                "output_dir": str(tmp_path / "out"),
+            },
+            "training_lmdb": {"batch_size": 16, "mesh_shape": [1, 1], "num_epochs": 3},
+        }
+        result = run_training_pipeline("lmdb", params, root)
+        assert result["history"]["val_auroc"][-1] > 0.8
+        assert result["test_metrics"]["auroc"] > 0.8
+
     def test_inference_pipeline_writes_predictions(self, project):
         root, params = project
         lmdb_abs = os.path.join(root, "data/01_raw/lmdb_features/detectron.lmdb")
