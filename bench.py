@@ -75,7 +75,7 @@ def main() -> int:
     from multimodal_classification_tpu.data.device_cache import (
         build_device_data,
         epoch_indices,
-        make_device_train_step,
+        make_device_multi_step,
     )
     from multimodal_classification_tpu.data.lmdb_store import LMDBFeatureStore
     from multimodal_classification_tpu.models.vilbert import ViLBERTForClassification
@@ -123,25 +123,33 @@ def main() -> int:
     first = {k: np.stack([ds.get(i)[k] for i in range(2)]) for k in ds.get(0)}
     params = model.init(jax.random.key(0), **model_inputs(first))["params"]
     state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
-    step = jax.jit(make_device_train_step(model, loss_fn, tx), donate_argnums=0)
+    # K steps per dispatch: lax.scan over an index matrix (amortises host
+    # dispatch latency; the whole epoch is one compiled call)
+    K = 10
+    step = jax.jit(make_device_multi_step(model, loss_fn, tx), donate_argnums=0)
     rng_key = jax.random.key(1, impl="rbg")
 
-    def index_stream():
+    def index_blocks():
         e = 0
         while True:
-            yield from epoch_indices(N_EXAMPLES, BATCH_SIZE, e, seed=0)
+            block = []
+            for idx in epoch_indices(N_EXAMPLES, BATCH_SIZE, e, seed=0):
+                block.append(idx)
+                if len(block) == K:
+                    yield jnp.asarray(np.stack(block))
+                    block = []
             e += 1
 
-    it = index_stream()
-    for _ in range(WARMUP_STEPS):
-        state, m = step(state, data, jnp.asarray(next(it)), rng_key)
+    it = index_blocks()
+    for _ in range(max(WARMUP_STEPS // K, 1)):
+        state, m = step(state, data, next(it), rng_key)
     # fetch the VALUE (device→host): on remote/tunneled backends
     # block_until_ready can return before compute completes
     _ = float(m["loss"])
 
     t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        state, m = step(state, data, jnp.asarray(next(it)), rng_key)
+    for _ in range(MEASURE_STEPS // K):
+        state, m = step(state, data, next(it), rng_key)
     final_loss = float(m["loss"])
     dt = time.perf_counter() - t0
 

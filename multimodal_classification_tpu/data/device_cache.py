@@ -143,6 +143,43 @@ def make_device_train_step(model, loss_fn, tx):
     return step
 
 
+def make_device_multi_step(model, loss_fn, tx, unroll: int = 1):
+    """K training steps per dispatch via lax.scan over an index matrix
+    [K, B] — amortises host dispatch latency and lets XLA pipeline step
+    boundaries. The whole epoch can be one compiled call."""
+    from multimodal_classification_tpu.training.train import TrainState, model_inputs
+
+    import optax
+
+    def one(state: "TrainState", data: DeviceData, indices: jnp.ndarray, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        batch = data.gather(indices)
+
+        def loss_of(params):
+            out = model.apply(
+                {"params": params},
+                **model_inputs(batch),
+                deterministic=False,
+                rngs={"dropout": rng},
+            )
+            return loss_fn(out["logits"], batch["labels"], None)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), loss
+
+    def multi(state: "TrainState", data: DeviceData, index_matrix: jnp.ndarray,
+              rng: jax.Array):
+        def body(st, idx):
+            return one(st, data, idx, rng)
+
+        state, losses = jax.lax.scan(body, state, index_matrix, unroll=unroll)
+        return state, {"loss": jnp.mean(losses), "losses": losses}
+
+    return multi
+
+
 def make_device_eval_step(model):
     from multimodal_classification_tpu.training.train import model_inputs
 

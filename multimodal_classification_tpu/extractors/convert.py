@@ -123,6 +123,129 @@ def convert_vg_rcnn(
     return trunk, top
 
 
+def _interp_pos_embed(pos: np.ndarray, target_tokens: int) -> np.ndarray:
+    """Bilinearly resample a [1, 1+N, W] ViT position table to a new grid
+    (DINOv2's interpolate_pos_encoding, done once at conversion time)."""
+    n_old = pos.shape[1] - 1
+    if n_old + 1 == target_tokens:
+        return pos
+    g_old = int(round(n_old ** 0.5))
+    g_new = int(round((target_tokens - 1) ** 0.5))
+    cls, grid = pos[:, :1], pos[:, 1:]
+    w = grid.shape[-1]
+    img = grid.reshape(1, g_old, g_old, w).transpose(0, 3, 1, 2)
+    import jax.numpy as jnp
+
+    from multimodal_classification_tpu.ops.pooling import bilinear_resize
+
+    img = np.asarray(bilinear_resize(jnp.asarray(img), (g_new, g_new), align_corners=False))
+    grid = img.transpose(0, 2, 3, 1).reshape(1, g_new * g_new, w)
+    return np.concatenate([cls, grid], axis=1)
+
+
+def convert_dinov2_vit(
+    state_dict: Mapping[str, Any], depth: int, target_tokens: Optional[int] = None
+) -> Dict[str, Any]:
+    """facebookresearch/dinov2 torch-hub state dict → our ViT params
+    (reference loads it via torch.hub, dinov2.py:184-220). Layout:
+    patch_embed.proj, cls_token, pos_embed, blocks.N.{norm1, attn.qkv,
+    attn.proj, ls1.gamma, norm2, mlp.fc1, mlp.fc2, ls2.gamma}, norm."""
+    sd = dict(state_dict)
+    p: Dict[str, Any] = {}
+    if "patch_embed.proj.weight" in sd:
+        p["patch_embed"] = {
+            "kernel": np.transpose(_np(sd["patch_embed.proj.weight"]), (2, 3, 1, 0)),
+            "bias": _np(sd["patch_embed.proj.bias"]),
+        }
+    if "cls_token" in sd:
+        p["cls_token"] = _np(sd["cls_token"]).reshape(1, 1, -1)
+    if "pos_embed" in sd:
+        pos = _np(sd["pos_embed"])
+        if target_tokens is not None:
+            pos = _interp_pos_embed(pos, target_tokens)
+        p["pos_embed"] = pos
+    for i in range(depth):
+        b = f"blocks.{i}"
+        if f"{b}.attn.qkv.weight" not in sd:
+            continue
+        blk: Dict[str, Any] = {
+            "qkv": {"kernel": _np(sd[f"{b}.attn.qkv.weight"]).T,
+                    "bias": _np(sd[f"{b}.attn.qkv.bias"])},
+            "proj": {"kernel": _np(sd[f"{b}.attn.proj.weight"]).T,
+                     "bias": _np(sd[f"{b}.attn.proj.bias"])},
+            "norm1": {"scale": _np(sd[f"{b}.norm1.weight"]),
+                      "bias": _np(sd[f"{b}.norm1.bias"])},
+            "norm2": {"scale": _np(sd[f"{b}.norm2.weight"]),
+                      "bias": _np(sd[f"{b}.norm2.bias"])},
+            "fc1": {"kernel": _np(sd[f"{b}.mlp.fc1.weight"]).T,
+                    "bias": _np(sd[f"{b}.mlp.fc1.bias"])},
+            "fc2": {"kernel": _np(sd[f"{b}.mlp.fc2.weight"]).T,
+                    "bias": _np(sd[f"{b}.mlp.fc2.bias"])},
+        }
+        if f"{b}.ls1.gamma" in sd:
+            blk["ls1"] = _np(sd[f"{b}.ls1.gamma"])
+            blk["ls2"] = _np(sd[f"{b}.ls2.gamma"])
+        p[f"block_{i}"] = blk
+    if "norm.weight" in sd:
+        p["norm"] = {"scale": _np(sd["norm.weight"]), "bias": _np(sd["norm.bias"])}
+    return p
+
+
+def convert_clip_vision_tower(
+    state_dict: Mapping[str, Any], depth: int = 12,
+    prefix: str = "vision_model.",
+) -> Dict[str, Any]:
+    """HF CLIPModel vision tower → our ViT params (reference clip.py uses
+    transformers CLIPModel). HF layout: embeddings.{patch_embedding,
+    class_embedding, position_embedding}, pre_layrnorm, encoder.layers.N.
+    {layer_norm1, self_attn.{q,k,v,out}_proj, layer_norm2, mlp.fc1/fc2},
+    post_layernorm. The split q/k/v projections are concatenated to our
+    fused qkv."""
+    sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+    p: Dict[str, Any] = {}
+    if "embeddings.patch_embedding.weight" in sd:
+        w = _np(sd["embeddings.patch_embedding.weight"])
+        patch = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+        # HF CLIP patch conv has no bias; our Conv does — zero it
+        patch["bias"] = np.zeros(w.shape[0], np.float32)
+        p["patch_embed"] = patch
+    if "embeddings.class_embedding" in sd:
+        p["cls_token"] = _np(sd["embeddings.class_embedding"]).reshape(1, 1, -1)
+    if "embeddings.position_embedding.weight" in sd:
+        p["pos_embed"] = _np(sd["embeddings.position_embedding.weight"])[None]
+    if "pre_layrnorm.weight" in sd:  # (sic — HF's historical typo)
+        p["ln_pre"] = {"scale": _np(sd["pre_layrnorm.weight"]),
+                       "bias": _np(sd["pre_layrnorm.bias"])}
+    for i in range(depth):
+        b = f"encoder.layers.{i}"
+        if f"{b}.self_attn.q_proj.weight" not in sd:
+            continue
+        qw = _np(sd[f"{b}.self_attn.q_proj.weight"]).T
+        kw = _np(sd[f"{b}.self_attn.k_proj.weight"]).T
+        vw = _np(sd[f"{b}.self_attn.v_proj.weight"]).T
+        qb = _np(sd[f"{b}.self_attn.q_proj.bias"])
+        kb = _np(sd[f"{b}.self_attn.k_proj.bias"])
+        vb = _np(sd[f"{b}.self_attn.v_proj.bias"])
+        p[f"block_{i}"] = {
+            "qkv": {"kernel": np.concatenate([qw, kw, vw], axis=1),
+                    "bias": np.concatenate([qb, kb, vb])},
+            "proj": {"kernel": _np(sd[f"{b}.self_attn.out_proj.weight"]).T,
+                     "bias": _np(sd[f"{b}.self_attn.out_proj.bias"])},
+            "norm1": {"scale": _np(sd[f"{b}.layer_norm1.weight"]),
+                      "bias": _np(sd[f"{b}.layer_norm1.bias"])},
+            "norm2": {"scale": _np(sd[f"{b}.layer_norm2.weight"]),
+                      "bias": _np(sd[f"{b}.layer_norm2.bias"])},
+            "fc1": {"kernel": _np(sd[f"{b}.mlp.fc1.weight"]).T,
+                    "bias": _np(sd[f"{b}.mlp.fc1.bias"])},
+            "fc2": {"kernel": _np(sd[f"{b}.mlp.fc2.weight"]).T,
+                    "bias": _np(sd[f"{b}.mlp.fc2.bias"])},
+        }
+    if "post_layernorm.weight" in sd:
+        p["norm"] = {"scale": _np(sd["post_layernorm.weight"]),
+                     "bias": _np(sd["post_layernorm.bias"])}
+    return p
+
+
 def merge_into(init_params: Dict[str, Any], loaded: Mapping[str, Any]) -> Tuple[Dict[str, Any], int]:
     """Overlay loaded onto init (shape-checked); returns (merged, n_loaded)."""
     from multimodal_classification_tpu.models.convert import merge_params

@@ -96,6 +96,44 @@ def test_device_train_step_decreases_loss():
     assert losses[-1] < losses[0]
 
 
+def test_multi_step_scan_matches_sequential_steps():
+    """K scanned steps == K sequential steps (same rng fold by step counter)."""
+    import optax
+
+    from multimodal_classification_tpu.data.device_cache import make_device_multi_step
+    from multimodal_classification_tpu.training.train import TrainState
+
+    cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False, v_feature_size=32)
+    model = ViLBERTForClassification(cfg)
+    ds = _dataset(16)
+    data = build_device_data(ds, feature_dtype=jnp.float32)
+    loss_fn = get_loss_function("ce")
+    tx = optax.adamw(1e-3)
+    batch0 = {k: np.stack([ds.get(i)[k] for i in range(4)]) for k in ds.get(0)}
+    params = model.init(jax.random.key(0), **model_inputs(batch0))["params"]
+
+    def fresh_state():
+        return TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+
+    idx = np.stack([np.asarray(list(epoch_indices(16, 4, e, seed=0)))[0] for e in range(3)])
+    rng = jax.random.key(1, impl="rbg")
+
+    single = jax.jit(make_device_train_step(model, loss_fn, tx))
+    s1 = fresh_state()
+    seq_losses = []
+    for k in range(3):
+        s1, m = single(s1, data, jnp.asarray(idx[k]), rng)
+        seq_losses.append(float(m["loss"]))
+
+    multi = jax.jit(make_device_multi_step(model, loss_fn, tx))
+    s2, m2 = multi(fresh_state(), data, jnp.asarray(idx), rng)
+    np.testing.assert_allclose(np.asarray(m2["losses"]), seq_losses, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s2.params["classifier_out"]["kernel"]),
+        np.asarray(s1.params["classifier_out"]["kernel"]), rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_epoch_indices_deterministic_and_complete():
     a = list(epoch_indices(50, 8, epoch=1, seed=3))
     b = list(epoch_indices(50, 8, epoch=1, seed=3))
