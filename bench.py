@@ -13,10 +13,14 @@ prefetching host loader is the fallback for datasets that exceed HBM;
 
 Baseline: the reference publishes NO throughput numbers (BASELINE.md) — its
 metrics are quality-only. ``vs_baseline`` is computed against a documented
-engineering estimate of the PyTorch reference on its stated hardware ("CUDA
-GPU, 8-16GB"): ~150 GFLOP/meme fwd+bwd at this config on a V100-class GPU at
-a generous 35% utilisation with torch's synchronous num_workers=0 input path
-≈ 100 memes/sec.
+engineering estimate of the PyTorch reference on its stated hardware:
+the reference trains eager fp32 with NO AMP (SURVEY.md §2.7) on a "CUDA GPU,
+8GB+ VRAM / 16GB recommended" (README.md:28) — a T4/V100-class card. ViLBERT
+at this config costs ~150 GFLOP/meme fwd+bwd; V100 fp32 peak is 15.7 TFLOPs,
+eager-mode utilisation ~40% → ~6 TFLOPs → ~40 memes/s compute-bound, further
+throttled by the synchronous num_workers=0 per-item input path. We use
+100 memes/s as the baseline — i.e. ~2.5× more generous to the reference than
+the V100-fp32 arithmetic suggests — so vs_baseline is conservative.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Serving/inference benchmark: eval-path latency and throughput of the
+flagship ViLBERT at the LMDB config, exercising the fused Pallas attention
+kernel (dropout-off path). Prints JSON lines per batch size."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_classification_tpu.config import facebook_vilbert_config
+    from multimodal_classification_tpu.models.vilbert import (
+        ViLBERTForClassification,
+        dummy_batch,
+    )
+    from multimodal_classification_tpu.training.train import make_eval_step, model_inputs
+
+    dev = jax.devices()[0]
+    print(f"serving bench on {dev.platform}:{dev.device_kind}", file=sys.stderr)
+    cfg = facebook_vilbert_config()
+    model = ViLBERTForClassification(cfg)
+    eval_step = jax.jit(make_eval_step(model))
+
+    params = None
+    for bs in (1, 16, 64):
+        batch = dummy_batch(cfg, bs, 128, 100)
+        rng = np.random.default_rng(0)
+        batch["visual_features"] = jnp.asarray(
+            rng.standard_normal(batch["visual_features"].shape), jnp.bfloat16
+        )
+        if params is None:
+            params = model.init(jax.random.key(0), **batch)["params"]
+        for _ in range(3):
+            logits = eval_step(params, model_inputs(batch))
+        _ = float(logits[0, 0])
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            logits = eval_step(params, model_inputs(batch))
+        _ = float(logits[0, 0])
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "batch_size": bs,
+            "latency_ms": round(dt / n * 1000, 2),
+            "memes_per_sec": round(n * bs / dt, 1),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
