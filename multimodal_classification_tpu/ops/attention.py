@@ -110,6 +110,14 @@ def bi_attention_core(
 
     q1 attends over kv1 (the *other* stream's K/V), q2 over kv2.
     """
+    if impl in ("pallas", "auto"):
+        from multimodal_classification_tpu.ops import pallas_kernels
+
+        fn = pallas_kernels.maybe_fused_bi_attention(
+            q1, kv1, q2, kv2, bias1, bias2, dropout_rate
+        )
+        if fn is not None:
+            return fn()
     rng1 = rng2 = None
     if dropout_rngs is not None:
         rng1, rng2 = dropout_rngs

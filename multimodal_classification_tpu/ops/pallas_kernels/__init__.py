@@ -40,3 +40,18 @@ def maybe_fused_attention(
     if not attn_k.supports(q, k, v, bias):
         return None
     return lambda: attn_k.fused_attention(q, k, v, bias)
+
+
+def maybe_fused_bi_attention(
+    q1, kv1, q2, kv2, bias1, bias2, dropout_rate: float
+) -> Optional[Callable[[], tuple]]:
+    """Fused both-direction co-attention, or None for the XLA path."""
+    if dropout_rate > 0.0 or not on_tpu():
+        return None
+    from multimodal_classification_tpu.ops.pallas_kernels import bi_attention as bk
+
+    k2, v2 = kv1
+    k1, v1 = kv2
+    if not bk.supports(q1, k2, v2, q2, k1, v1):
+        return None
+    return lambda: bk.fused_bi_attention(q1, k2, v2, q2, k1, v1, bias1, bias2)

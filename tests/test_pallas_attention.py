@@ -74,6 +74,43 @@ class TestFusedAttention:
         for a, b in zip(g_fused, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
+    def test_fused_bi_attention_matches_xla(self, rng):
+        from multimodal_classification_tpu.ops.pallas_kernels import bi_attention as bk
+
+        b, h, s1, s2, d = 2, 2, 100, 128, 64
+        q1, k1, v1 = _mk(rng, b, h, s1, s1, d)
+        q2, k2, v2 = _mk(rng, b, h, s2, s2, d)
+        m1 = (rng.uniform(size=(b, s2)) > 0.2).astype(np.float32)
+        m2 = (rng.uniform(size=(b, s1)) > 0.2).astype(np.float32)
+        bias1 = mask_to_bias(jnp.asarray(m1))
+        bias2 = mask_to_bias(jnp.asarray(m2))
+        got1, got2 = bk.fused_bi_attention(q1, k2, v2, q2, k1, v1, bias1, bias2)
+        want1 = _attention_xla(q1, k2, v2, bias1, 0.0, None)
+        want2 = _attention_xla(q2, k1, v1, bias2, 0.0, None)
+        np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=2e-5, atol=2e-5)
+
+    def test_fused_bi_attention_gradients(self, rng):
+        from multimodal_classification_tpu.ops.pallas_kernels import bi_attention as bk
+
+        b, h, s1, s2, d = 1, 2, 10, 12, 32
+        q1, k1, v1 = _mk(rng, b, h, s1, s1, d)
+        q2, k2, v2 = _mk(rng, b, h, s2, s2, d)
+
+        def loss_fused(q1, k2, v2):
+            c1, c2 = bk.fused_bi_attention(q1, k2, v2, q2, k1, v1, None, None)
+            return jnp.sum(c1 ** 2) + jnp.sum(c2 ** 2)
+
+        def loss_ref(q1, k2, v2):
+            c1 = _attention_xla(q1, k2, v2, None, 0.0, None)
+            c2 = _attention_xla(q2, k1, v1, None, 0.0, None)
+            return jnp.sum(c1 ** 2) + jnp.sum(c2 ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q1, k2, v2)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q1, k2, v2)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
+
     def test_bfloat16_io(self, rng):
         q, k, v = _mk(rng, 1, 2, 32, 24, 64)
         qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
