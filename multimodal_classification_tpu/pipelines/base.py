@@ -56,6 +56,30 @@ EXTRACTOR_VARIANTS = {
 }
 
 
+DEFAULT_CATALOG = {
+    "data_splits_info": "data/08_reporting/data_splits_info.json",
+    "training_history": "data/08_reporting/training_history.json",
+    "test_metrics": "data/08_reporting/test_metrics.json",
+    "validation_metrics": "data/08_reporting/validation_metrics.json",
+    "inference_metrics": "data/08_reporting/inference_metrics.json",
+    "predictions": "data/07_model_output/predictions.csv",
+    "model_path": "data/08_reporting/model_path.txt",
+}
+
+
+def catalog_path(name: str, root: str = ".") -> str:
+    """Artifact path from conf/base/catalog.yml (reference catalog.yml:4-73),
+    falling back to the reference's default layout."""
+    import yaml
+
+    mapping = dict(DEFAULT_CATALOG)
+    cat_file = os.path.join(root, "conf", "base", "catalog.yml")
+    if os.path.exists(cat_file):
+        with open(cat_file) as f:
+            mapping.update(yaml.safe_load(f) or {})
+    return os.path.join(root, mapping[name])
+
+
 def _write_json(path: str, obj: Any):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
@@ -81,7 +105,7 @@ def run_data_processing(
 
         splits = {k: enrich_with_captions(v, dp) for k, v in splits.items()}
     stats = compute_dataset_statistics(splits)
-    _write_json(os.path.join(root, "data/08_reporting/data_splits_info.json"), stats)
+    _write_json(catalog_path("data_splits_info", root), stats)
     return splits
 
 
@@ -225,18 +249,20 @@ def run_training_pipeline(
                 steps_per_epoch=len(loaders["train"]),
                 init_params=init_params,
             )
-        _write_json(os.path.join(root, "data/08_reporting/training_history.json"), history)
+        _write_json(catalog_path("training_history", root), history)
 
         test_metrics: Dict[str, Any] = {}
         if "test" in loaders and datasets["test"].labels.max() >= 0:
             test_metrics = trainer.evaluate(state.params, loaders["test"])
             tracker.log_metrics({f"test_{k}": v for k, v in test_metrics.items()
                                  if isinstance(v, (int, float))})
-            _write_json(os.path.join(root, "data/08_reporting/test_metrics.json"), test_metrics)
+            _write_json(catalog_path("test_metrics", root), test_metrics)
 
         # save_model equivalent (reference nodes.py:953-964 + model_path.txt)
         model_path = os.path.join(out_dir, "best")
-        with open(os.path.join(root, "data/08_reporting/model_path.txt"), "w") as f:
+        mp = catalog_path("model_path", root)
+        os.makedirs(os.path.dirname(mp), exist_ok=True)
+        with open(mp, "w") as f:
             f.write(model_path)
         tracker.end_run()
         return {"history": history, "test_metrics": test_metrics, "model_path": model_path}
@@ -270,7 +296,7 @@ def run_validation_pipeline(
     if trainer.ckpt.exists("best"):
         params_tree = trainer.ckpt.restore("best")["params"]
     metrics = trainer.evaluate(params_tree, loader)
-    _write_json(os.path.join(root, "data/08_reporting/validation_metrics.json"), metrics)
+    _write_json(catalog_path("validation_metrics", root), metrics)
     return metrics
 
 
@@ -319,12 +345,12 @@ def run_inference_pipeline(
             )
             i += 1
     df = pd.DataFrame(rows)
-    out = os.path.join(root, "data/07_model_output/predictions.csv")
+    out = catalog_path("predictions", root)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     df.to_csv(out, index=False)
     if (df["label"] >= 0).all() and df["label"].nunique() > 1:
         from multimodal_classification_tpu.training.metrics import binary_metrics
 
         m = binary_metrics(df["label"].to_numpy(), df["proba_hateful"].to_numpy())
-        _write_json(os.path.join(root, "data/08_reporting/inference_metrics.json"), m)
+        _write_json(catalog_path("inference_metrics", root), m)
     return df
