@@ -121,7 +121,8 @@ def main() -> int:
     schedule = warmup_linear_schedule(1e-5, 2000, 10_000)
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01),
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
+                    mu_dtype=jnp.bfloat16),
     )
 
     first = {k: np.stack([ds.get(i)[k] for i in range(2)]) for k in ds.get(0)}

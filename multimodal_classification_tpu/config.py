@@ -159,6 +159,9 @@ class TrainingConfig:
     # dropout PRNG implementation: "rbg" is ~1.4× faster end-to-end on TPU
     # than threefry at this model scale (hardware RNG vs software hashing)
     rng_impl: str = "rbg"
+    # Adam first-moment dtype: bf16 halves the HBM-bound optimizer pass's mu
+    # traffic (second moment stays fp32); set "float32" for exact torch parity
+    adam_mu_dtype: str = "bfloat16"
     # TPU-native additions (no reference counterpart — see SURVEY.md §2.7):
     # data-parallel × model-parallel mesh, remat, grad accumulation.
     mesh_shape: Tuple[int, ...] = (-1, 1)  # (dp, mp); -1 = all remaining devices

@@ -79,7 +79,10 @@ def make_optimizer(
     )
     tx = optax.chain(
         optax.clip_by_global_norm(tcfg.gradient_clip) if tcfg.gradient_clip > 0 else optax.identity(),
-        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=tcfg.weight_decay),
+        optax.adamw(
+            schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=tcfg.weight_decay,
+            mu_dtype=jnp.dtype(tcfg.adam_mu_dtype),
+        ),
     )
     if freeze_bert_layers > 0:
         assert params is not None
