@@ -335,11 +335,13 @@ def run_inference_pipeline(
         z = logits - logits.max(-1, keepdims=True)
         p = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
         for j in np.nonzero(keep)[0]:
+            # column names match the reference's run_inference DataFrame
+            # (nodes.py:990: "prediction", "probability" [+ "label"])
             rows.append(
                 {
                     "id": ds.ids[i],
-                    "proba_hateful": float(p[j, 1]),
-                    "prediction": int(p[j, 1] >= 0.5),
+                    "prediction": int(np.argmax(p[j])),
+                    "probability": float(p[j, 1]),
                     "label": int(batch["labels"][j]),
                 }
             )
@@ -351,6 +353,6 @@ def run_inference_pipeline(
     if (df["label"] >= 0).all() and df["label"].nunique() > 1:
         from multimodal_classification_tpu.training.metrics import binary_metrics
 
-        m = binary_metrics(df["label"].to_numpy(), df["proba_hateful"].to_numpy())
+        m = binary_metrics(df["label"].to_numpy(), df["probability"].to_numpy())
         _write_json(catalog_path("inference_metrics", root), m)
     return df

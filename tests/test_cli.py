@@ -1,0 +1,39 @@
+"""CLI smoke tests (the reference's tests/test_run.py KedroSession smoke,
+SURVEY.md §4 — but actually runnable: fabricated data, tiny model)."""
+
+import json
+import os
+
+import pytest
+
+from multimodal_classification_tpu.cli import main
+from tests.fixtures import make_dataset_dir
+
+
+def test_list_commands(capsys):
+    assert main(["list", "pipelines"]) == 0
+    out = capsys.readouterr().out
+    assert "vilbert_lmdb_train" in out
+    assert main(["list", "extractors"]) == 0
+    assert "dinov2" in capsys.readouterr().out
+    assert main(["list", "models"]) == 0
+    assert "vilbert_facebook" in capsys.readouterr().out
+
+
+def test_run_data_processing_pipeline(tmp_path, capsys):
+    root = tmp_path
+    data_dir = root / "data/01_raw/hateful_memes"
+    data_dir.mkdir(parents=True)
+    make_dataset_dir(data_dir, n_train=16, n_val=8, n_test=8)
+    conf = root / "conf/base"
+    conf.mkdir(parents=True)
+    with open(conf / "parameters.yml", "w") as f:
+        f.write("data_processing:\n  data_dir: data/01_raw/hateful_memes\n")
+    assert main(["run", "--pipeline=data_processing", "--root", str(root)]) == 0
+    stats = json.load(open(root / "data/08_reporting/data_splits_info.json"))
+    assert stats["train"]["num_samples"] == 16
+
+
+def test_unknown_pipeline_errors(tmp_path):
+    with pytest.raises(KeyError, match="Unknown pipeline"):
+        main(["run", "--pipeline=nope", "--root", str(tmp_path)])

@@ -163,5 +163,5 @@ class TestLmdbTrainPipeline:
         params = {**params, "vilbert_lmdb": {**params["vilbert_lmdb"], "lmdb_path": lmdb_abs}}
         df = run_inference_pipeline("lmdb", params, root)
         assert len(df) == 24
-        assert {"id", "proba_hateful", "prediction", "label"} <= set(df.columns)
+        assert {"id", "probability", "prediction", "label"} <= set(df.columns)
         assert os.path.exists(os.path.join(root, "data/07_model_output/predictions.csv"))
