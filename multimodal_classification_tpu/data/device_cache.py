@@ -189,3 +189,97 @@ def make_device_eval_step(model):
         return out["logits"].astype(jnp.float32)
 
     return eval_step
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip dp: dataset sharded over the mesh's example axis
+# ---------------------------------------------------------------------------
+
+
+def build_sharded_device_data(ds: MemesDataset, mesh, feature_dtype=jnp.bfloat16):
+    """Shard the tensorised dataset's example axis over the mesh's ``dp``
+    axis. Example count is truncated to a multiple of dp (the dropped tail is
+    at most dp-1 examples per epoch — re-randomised shuffling covers them
+    across epochs in expectation only; use the host loader if exactness of
+    the tail matters)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = mesh.shape["dp"]
+    data = build_device_data(ds, feature_dtype=feature_dtype,
+                             sharding=None)  # host-side numpy staging below
+    n = (data.num_examples // dp) * dp
+    sharding = NamedSharding(mesh, P("dp"))
+
+    def put(x):
+        return jax.device_put(np.asarray(x)[:n], sharding)
+
+    return DeviceData(**{f.name: put(getattr(data, f.name))
+                         for f in dataclasses.fields(DeviceData)})
+
+
+def sharded_epoch_indices(
+    num_examples: int, dp: int, batch_size: int, epoch: int, seed: int = 42
+) -> Iterator[np.ndarray]:
+    """Per-device shard-local index batches: [dp, B/dp] int32 where row d
+    indexes into shard d (values < num_examples/dp). Shard-then-shuffle —
+    the standard distributed input discipline."""
+    assert batch_size % dp == 0
+    per_dev = batch_size // dp
+    shard_n = num_examples // dp
+    rng = np.random.default_rng((seed, epoch))
+    orders = [rng.permutation(shard_n) for _ in range(dp)]
+    for start in range(0, shard_n - per_dev + 1, per_dev):
+        yield np.stack([o[start : start + per_dev] for o in orders]).astype(np.int32)
+
+
+def make_sharded_device_train_step(model, loss_fn, tx, mesh):
+    """Multi-chip device-resident train step: each device gathers its batch
+    slice from its local dataset shard (shard_map — no data collectives on
+    the input path), then the usual dp training step; gradient all-reduce is
+    inserted by XLA from the shardings."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from multimodal_classification_tpu.training.train import TrainState, model_inputs
+
+    import optax
+
+    data_specs = DeviceData(
+        input_ids=P("dp"), attention_mask=P("dp"), token_type_ids=P("dp"),
+        visual_features=P("dp"), visual_attention_mask=P("dp"),
+        spatial_locations=P("dp"), labels=P("dp"),
+    )
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(data_specs, P("dp")),
+        out_specs=jax.tree.map(lambda _: P("dp"), data_specs),
+        check_rep=False,
+    )
+    def local_gather(data_shard: DeviceData, local_idx):
+        # inside shard_map: data_shard leaves are the per-device blocks,
+        # local_idx is [1, B/dp] (dp axis split) — plain local indexing
+        idx = local_idx[0]
+        return jax.tree.map(lambda a: a[idx], data_shard)
+
+    def step(state: "TrainState", data: DeviceData, local_indices, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        batch_data = local_gather(data, local_indices)
+        batch = {f.name: getattr(batch_data, f.name)
+                 for f in dataclasses.fields(DeviceData)}
+
+        def loss_of(params):
+            out = model.apply(
+                {"params": params}, **model_inputs(batch),
+                deterministic=False, rngs={"dropout": rng},
+            )
+            return loss_fn(out["logits"], batch["labels"], None)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), {"loss": loss}
+
+    return step

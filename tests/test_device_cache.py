@@ -134,6 +134,54 @@ def test_multi_step_scan_matches_sequential_steps():
     )
 
 
+def test_sharded_device_data_multichip_training():
+    """Dataset sharded over dp on an 8-device CPU mesh: shard-local gather
+    (shard_map) + dp training step runs and learns."""
+    import optax
+
+    from multimodal_classification_tpu.data.device_cache import (
+        build_sharded_device_data,
+        make_sharded_device_train_step,
+        sharded_epoch_indices,
+    )
+    from multimodal_classification_tpu.parallel.mesh import build_mesh, param_shardings
+    from multimodal_classification_tpu.training.train import TrainState
+
+    mesh = build_mesh((4, 2))
+    cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False, v_feature_size=32)
+    model = ViLBERTForClassification(cfg)
+    ds = _dataset(40)
+    data = build_sharded_device_data(ds, mesh, feature_dtype=jnp.float32)
+    assert data.num_examples == 40  # divisible by dp=4
+    assert len(data.visual_features.sharding.device_set) == 8
+
+    loss_fn = get_loss_function("ce")
+    tx = optax.adamw(1e-3)
+    batch0 = {k: np.stack([ds.get(i)[k] for i in range(4)]) for k in ds.get(0)}
+    params = model.init(jax.random.key(0), **model_inputs(batch0))["params"]
+    params = jax.tree.map(jax.device_put, params, param_shardings(params, mesh))
+    state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    step = jax.jit(make_sharded_device_train_step(model, loss_fn, tx, mesh),
+                   donate_argnums=0)
+    rng = jax.random.key(1, impl="rbg")
+    losses = []
+    for e in range(3):
+        for idx in sharded_epoch_indices(data.num_examples, 4, batch_size=8, epoch=e):
+            state, m = step(state, data, jnp.asarray(idx), rng)
+            losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_epoch_indices_cover_local_shards():
+    from multimodal_classification_tpu.data.device_cache import sharded_epoch_indices
+
+    batches = list(sharded_epoch_indices(40, dp=4, batch_size=8, epoch=0))
+    assert all(b.shape == (4, 2) for b in batches)
+    per_dev = np.concatenate([b[1] for b in batches])
+    assert set(per_dev.tolist()) == set(range(10))  # full local shard coverage
+
+
 def test_epoch_indices_deterministic_and_complete():
     a = list(epoch_indices(50, 8, epoch=1, seed=3))
     b = list(epoch_indices(50, 8, epoch=1, seed=3))
