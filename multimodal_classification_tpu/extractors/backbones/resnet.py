@@ -13,7 +13,7 @@ Weight conversion from torchvision state dicts: extractors/convert.py.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ qkv-recompute hook, dinov2.py:372-436).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -8,7 +8,7 @@ with explicit mappings. Conventions: torch conv [out,in,kh,kw] → flax
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import numpy as np
 

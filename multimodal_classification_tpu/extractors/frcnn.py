@@ -28,8 +28,7 @@ score thresholds, variable box lists) becomes fixed-slot + validity-mask
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

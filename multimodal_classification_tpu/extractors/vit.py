@@ -24,11 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_classification_tpu.extractors.backbones.vit import (
-    VIT_CONFIGS,
-    ViT,
-    make_vit,
-)
+from multimodal_classification_tpu.extractors.backbones.vit import make_vit
 from multimodal_classification_tpu.extractors.base import (
     BaseExtractor,
     CLIP_MEAN,

@@ -9,7 +9,7 @@ dtype (bfloat16 on the MXU); LayerNorm/softmax accumulate in float32.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

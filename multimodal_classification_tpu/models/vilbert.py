@@ -31,7 +31,6 @@ from multimodal_classification_tpu.models.layers import (
     Intermediate,
     Pooler,
     ResidualOutput,
-    SelfAttention,
     TextEmbeddings,
     TransformerLayer,
     VisualEmbeddings,

@@ -75,15 +75,11 @@ def attention_core(
     if impl in ("pallas", "auto"):
         from multimodal_classification_tpu.ops import pallas_kernels
 
+        # the fused kernel has no attention-prob dropout; maybe_fused_attention
+        # returns None whenever dropout_rate > 0, falling through to XLA
         fn = pallas_kernels.maybe_fused_attention(q, k, v, bias, dropout_rate)
         if fn is not None:
-            out = fn()
-            if dropout_rate > 0.0 and dropout_rng is not None:
-                # Dropout on attention output is NOT equivalent to prob-dropout;
-                # the fused kernel path is only selected when dropout is off
-                # (maybe_fused_attention returns None otherwise).
-                pass
-            return out
+            return fn()
         if impl == "pallas":
             raise ValueError(
                 f"No Pallas attention kernel for shapes q={q.shape} k={k.shape}"

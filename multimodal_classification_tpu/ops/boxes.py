@@ -9,7 +9,7 @@ Boxes are (x1, y1, x2, y2) in pixels unless noted.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

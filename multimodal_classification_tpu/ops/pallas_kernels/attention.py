@@ -19,8 +19,6 @@ Replaces the reference's unfused torch matmul-softmax chains
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

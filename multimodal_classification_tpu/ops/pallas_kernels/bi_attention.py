@@ -15,8 +15,6 @@ Gradients: custom VJP recomputing through the XLA reference
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -9,9 +9,7 @@ Works on both our Tracker's output and real MLflow file stores (same format).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
-
-import numpy as np
+from typing import Dict, List, Tuple
 
 
 def _read_metric(run_dir: str, key: str) -> List[Tuple[int, float, int]]:

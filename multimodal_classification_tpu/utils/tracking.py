@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import time
 import uuid
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Mapping, Optional
 
 import yaml
 

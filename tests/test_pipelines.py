@@ -105,6 +105,37 @@ class TestRegistry:
             assert required in names, required
 
 
+class TestPrecomputedPipeline:
+    def test_hdf5_precomputed_training(self, project, tmp_path):
+        """vilbert_precomputed_train: HDF5 store → training (reference:
+        precomputed_dataset.py path)."""
+        from multimodal_classification_tpu.data import write_hdf5_features
+
+        root, params = project
+        splits = run_data_processing(params, root)
+        all_ids = [i for df in splits.values() for i in df["id"].astype(str)]
+        labels = {str(r["id"]): int(r["label"]) for df in splits.values()
+                  for _, r in df.iterrows()}
+        rng = np.random.default_rng(1)
+        feats = rng.standard_normal((len(all_ids), 10, 128)).astype(np.float32)
+        for k, i in enumerate(all_ids):
+            feats[k, :, :8] += labels[i] * 4.0
+        spatial = rng.uniform(0, 1, (len(all_ids), 10, 5)).astype(np.float32)
+        h5 = str(tmp_path / "precomputed.h5")
+        write_hdf5_features(h5, all_ids, feats, spatial)
+
+        params = {
+            **params,
+            "vilbert_precomputed": {
+                "hdf5_features_path": h5,
+                "output_dir": str(tmp_path / "out"),
+            },
+            "training_precomputed": {"batch_size": 16, "num_epochs": 4},
+        }
+        result = run_training_pipeline("precomputed", params, root)
+        assert result["history"]["val_auroc"][-1] > 0.8
+
+
 class TestLmdbTrainPipeline:
     def test_data_processing(self, project):
         root, params = project
