@@ -191,6 +191,9 @@ class DataConfig:
     # device (precomputed-feature pipelines, single-chip dp; see
     # data/device_cache.py) instead of streaming batches from the host
     device_resident: bool = False
+    # dtype of dense float fields on the host→device link ("bfloat16" halves
+    # transfer bytes; matches the model's compute dtype)
+    wire_dtype: str = "bfloat16"
     # dataset source paths
     lmdb_path: Optional[str] = None
     hdf5_features_path: Optional[str] = None

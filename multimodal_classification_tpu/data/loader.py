@@ -120,6 +120,7 @@ class BatchLoader:
         seed: int = 42,
         drop_last: bool = False,
         prefetch: int = 2,
+        wire_dtype: Optional[str] = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -128,6 +129,15 @@ class BatchLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self._epoch = 0
+        # dense float fields cross the host→device link in this dtype;
+        # "bfloat16" halves transfer bytes and matches the model's compute
+        # dtype (no quality change relative to bf16 matmuls)
+        self._wire_dtype = None
+        if wire_dtype and wire_dtype != "float32":
+            import ml_dtypes
+
+            self._wire_dtype = np.dtype(ml_dtypes.bfloat16) if wire_dtype == "bfloat16" \
+                else np.dtype(wire_dtype)
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -156,6 +166,10 @@ class BatchLoader:
         w = np.zeros(bs, np.float32)
         w[:n_real] = 1.0
         batch["weights"] = w
+        if self._wire_dtype is not None:
+            for k in ("visual_features", "spatial_locations", "attention_mask",
+                      "visual_attention_mask"):
+                batch[k] = batch[k].astype(self._wire_dtype)
         return batch
 
     def _produce(self, order: np.ndarray, out: "queue.Queue"):

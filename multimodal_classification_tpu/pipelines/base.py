@@ -228,6 +228,7 @@ def run_training_pipeline(
             name: BatchLoader(
                 ds, ex.training.batch_size, shuffle=(name == "train"),
                 seed=ex.training.seed, prefetch=ex.data.prefetch_depth,
+                wire_dtype=ex.data.wire_dtype if ex.model.dtype == "bfloat16" else None,
             )
             for name, ds in datasets.items()
         }

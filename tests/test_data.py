@@ -167,6 +167,15 @@ class TestBatchLoader:
         item = ds.get(0)
         assert (item["visual_features"] == 0).all()
 
+    def test_wire_dtype_bf16(self, dataset):
+        import ml_dtypes
+
+        loader = BatchLoader(dataset, batch_size=8, wire_dtype="bfloat16")
+        b = next(iter(loader))
+        assert b["visual_features"].dtype == ml_dtypes.bfloat16
+        assert b["input_ids"].dtype == np.int32  # ints untouched
+        assert b["labels"].dtype == np.int32
+
     def test_producer_exception_propagates(self, dataset):
         loader = BatchLoader(dataset, batch_size=8)
         orig = dataset.get
