@@ -15,7 +15,7 @@ LayerNorm weight → scale; Embedding weight → embedding.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 
@@ -222,8 +222,6 @@ def merge_params(
     absent from loaded keep their fresh initialisation (e.g. classifier head
     when starting from a pretraining checkpoint).
     """
-    import jax
-
     n_loaded = 0
     n_total = 0
 

@@ -109,6 +109,11 @@ def run_data_processing(
     return splits
 
 
+def _resolve(path: Optional[str], root: str, default: str) -> str:
+    path = path or default
+    return path if os.path.isabs(path) else os.path.join(root, path)
+
+
 def make_feature_store(
     variant: str, ex: ExperimentConfig, root: str = "."
 ) -> Optional[FeatureStore]:
@@ -119,14 +124,14 @@ def make_feature_store(
         if variant == "lmdb":
             from multimodal_classification_tpu.data.lmdb_store import LMDBFeatureStore
 
-            path = ex.data.lmdb_path or os.path.join(
-                root, "data/01_raw/lmdb_features/detectron.lmdb"
+            return LMDBFeatureStore(
+                _resolve(ex.data.lmdb_path, root,
+                         "data/01_raw/lmdb_features/detectron.lmdb")
             )
-            return LMDBFeatureStore(path)
-        path = ex.data.hdf5_features_path or os.path.join(
-            root, "data/02_intermediate/precomputed_features.h5"
+        return HDF5FeatureStore(
+            _resolve(ex.data.hdf5_features_path, root,
+                     "data/02_intermediate/precomputed_features.h5")
         )
-        return HDF5FeatureStore(path)
     extractor_name = EXTRACTOR_VARIANTS.get(variant, ex.data.feature_extractor)
     from multimodal_classification_tpu.extractors.store import ExtractorFeatureStore
 
@@ -144,8 +149,12 @@ def build_datasets(
     ex: ExperimentConfig,
     store: Optional[FeatureStore],
     tokenizer: Optional[WordPieceTokenizer] = None,
+    root: str = ".",
 ) -> Dict[str, MemesDataset]:
-    tok = tokenizer or load_tokenizer(ex.data.tokenizer_vocab, ex.data.lowercase)
+    vocab = ex.data.tokenizer_vocab
+    if vocab and not os.path.isabs(vocab):
+        vocab = os.path.join(root, vocab)
+    tok = tokenizer or load_tokenizer(vocab, ex.data.lowercase)
     num_regions = getattr(store, "num_regions", ex.data.max_regions)
     feat_dim = getattr(store, "feature_dim", ex.data.visual_feature_dim)
     return {
@@ -223,7 +232,7 @@ def run_training_pipeline(
                 paths.extend(df.get("img", df["id"]).astype(str).tolist())
             n = store.precompute(ids, paths, persist=True)
             logger.info("precomputed features for %d images", n)
-        datasets = build_datasets(splits, ex, store, tokenizer)
+        datasets = build_datasets(splits, ex, store, tokenizer, root)
         loaders = {
             name: BatchLoader(
                 ds, ex.training.batch_size, shuffle=(name == "train"),
@@ -289,7 +298,7 @@ def run_validation_pipeline(
         splits = run_data_processing(params, root)
     if store is None:
         store = make_feature_store(variant, ex, root)
-    datasets = build_datasets(splits, ex, store, tokenizer)
+    datasets = build_datasets(splits, ex, store, tokenizer, root)
     loader = BatchLoader(datasets["test"], ex.training.batch_size)
     model, params_tree = build_model_and_params(ex, root)
     trainer = Trainer(model, ex, tracker=tracker,
@@ -317,7 +326,7 @@ def run_inference_pipeline(
         splits = run_data_processing(params, root)
     if store is None:
         store = make_feature_store(variant, ex, root)
-    datasets = build_datasets(splits, ex, store, tokenizer)
+    datasets = build_datasets(splits, ex, store, tokenizer, root)
     ds = datasets["test"]
     loader = BatchLoader(ds, ex.training.batch_size)
     model, params_tree = build_model_and_params(ex, root)
