@@ -99,6 +99,9 @@ def run_data_processing(
         val_split_ratio=dp.get("val_split_ratio", 0.1),
         random_seed=dp.get("random_seed", 42),
     )
+    from multimodal_classification_tpu.data.memes import attach_image_paths
+
+    splits = {k: attach_image_paths(v, data_dir) for k, v in splits.items()}
     splits = {k: preprocess_data(v, dp) for k, v in splits.items()}
     if dp.get("use_captions", False):
         from multimodal_classification_tpu.data.augment import enrich_with_captions
