@@ -188,6 +188,26 @@ class TestLmdbTrainPipeline:
         assert result["history"]["val_auroc"][-1] > 0.8
         assert result["test_metrics"]["auroc"] > 0.8
 
+    def test_ablation_config_plumbing(self, project, tmp_path):
+        """The reference's ablation axes reach the engine through config:
+        focal loss + frozen BERT layers + label smoothing (README.md:289-291)."""
+        root, params = project
+        lmdb_abs = os.path.join(root, "data/01_raw/lmdb_features/detectron.lmdb")
+        params = {
+            **params,
+            "vilbert_lmdb": {
+                **params["vilbert_lmdb"], "lmdb_path": lmdb_abs,
+                "freeze_bert_layers": 1,
+                "output_dir": str(tmp_path / "out"),
+            },
+            "training_lmdb": {
+                "batch_size": 16, "num_epochs": 2,
+                "loss_type": "focal", "focal_alpha": 0.35, "focal_gamma": 2.0,
+            },
+        }
+        result = run_training_pipeline("lmdb", params, root)
+        assert np.isfinite(result["history"]["train_loss"]).all()
+
     def test_inference_pipeline_writes_predictions(self, project):
         root, params = project
         lmdb_abs = os.path.join(root, "data/01_raw/lmdb_features/detectron.lmdb")

@@ -120,6 +120,12 @@ class TestMetrics:
             auroc(labels, q), roc_auc_score(labels, q), rtol=1e-10
         )
 
+    def test_auroc_degenerate_single_class_is_nan(self):
+        import math
+
+        assert math.isnan(auroc(np.ones(10, int), np.linspace(0, 1, 10)))
+        assert math.isnan(auroc(np.zeros(10, int), np.linspace(0, 1, 10)))
+
     def test_binary_metrics_match_sklearn(self, rng):
         from sklearn.metrics import accuracy_score, f1_score
 
