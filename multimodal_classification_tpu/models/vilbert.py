@@ -89,9 +89,11 @@ class BiAttentionBlock(nn.Module):
 
         # BiOutput: project back per stream + residual (the reference also
         # defines q_dense1/q_dense2 here but never applies them in forward —
-        # vilbert_facebook_arch.py:324-338; we do not create them)
+        # vilbert_facebook_arch.py:324-338; we do not create them). Note the
+        # reference's BiOutput uses hidden_dropout_prob for BOTH streams
+        # (one shared nn.Dropout, :318-338).
         v_attn = ResidualOutput(
-            cfg.v_hidden_size, cfg.v_hidden_dropout_prob, self.dtype, name="v_output_attn"
+            cfg.v_hidden_size, cfg.hidden_dropout_prob, self.dtype, name="v_output_attn"
         )(v_ctx, v_hidden, deterministic)
         t_attn = ResidualOutput(
             cfg.hidden_size, cfg.hidden_dropout_prob, self.dtype, name="t_output_attn"

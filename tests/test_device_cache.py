@@ -96,6 +96,22 @@ def test_device_train_step_decreases_loss():
     assert losses[-1] < losses[0]
 
 
+def test_int8_storage_dequantises_close_to_fp32():
+    ds = _dataset(12)
+    full = build_device_data(ds, feature_dtype=jnp.float32)
+    q = build_device_data(ds, feature_dtype="int8")
+    assert q.visual_features.dtype == jnp.int8
+    assert q.feature_scales is not None
+    idx = jnp.asarray([0, 5, 11], jnp.int32)
+    got = np.asarray(q.gather(idx)["visual_features"], np.float32)
+    want = np.asarray(full.gather(idx)["visual_features"], np.float32)
+    # per-row max-abs int8: relative error bounded by ~1/127 of the row max
+    row_max = np.abs(want).max(-1, keepdims=True)
+    np.testing.assert_allclose(got, want, atol=float(row_max.max()) / 100)
+    # memory is actually 4x smaller (plus small scales array)
+    assert q.visual_features.nbytes * 4 == full.visual_features.nbytes
+
+
 def test_multi_step_scan_matches_sequential_steps():
     """K scanned steps == K sequential steps (same rng fold by step counter)."""
     import optax
