@@ -239,13 +239,7 @@ class FasterRCNNFPNExtractor(BaseExtractor):
         dt = jnp.dtype(dtype)
         self.core = _FPNDetectorCore(arch, dtype=dt)
         self.box_head = _BoxHead(dtype=dt)
-        self._anchors = {}
-        for name, stride in (("p2", 4), ("p3", 8), ("p4", 16), ("p5", 32), ("p6", 64)):
-            fh = image_size // stride
-            self._anchors[name] = jnp.asarray(
-                generate_anchors(fh, fh, stride, scales=(FPN_ANCHOR_SIZES[name],),
-                                 ratios=(0.5, 1.0, 2.0))
-            )
+        self._strides = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
         self._grid_pad = jnp.asarray(grid_proposals(image_size, image_size, num_regions))
 
     def init_params(self, rng: jax.Array):
@@ -259,13 +253,22 @@ class FasterRCNNFPNExtractor(BaseExtractor):
         b = images.shape[0]
         x = normalize_images(images)
         pyramid, rpn_out = self.core.apply({"params": params["core"]}, x)
+        # anchors from actual per-level grids (conv rounding ≠ image_size//stride)
+        anchors = {
+            name: jnp.asarray(generate_anchors(
+                rpn_out[name][0].shape[1], rpn_out[name][0].shape[2],
+                self._strides[name], scales=(FPN_ANCHOR_SIZES[name],),
+                ratios=(0.5, 1.0, 2.0),
+            ))
+            for name in ("p2", "p3", "p4", "p5", "p6")
+        }
 
         def per_image(i):
             boxes_l, scores_l = [], []
             for name in ("p2", "p3", "p4", "p5", "p6"):
                 logits, deltas = rpn_out[name]
                 bx, sc, _valid = rpn_proposals(
-                    logits[i], deltas[i], self._anchors[name],
+                    logits[i], deltas[i], anchors[name],
                     self.image_size, pre_nms_top_n=1000, post_nms_top_n=100,
                 )
                 boxes_l.append(bx)
@@ -439,9 +442,12 @@ class FasterRCNNVGRPNExtractor(FasterRCNNVGExtractor):
         self.rpn = VGRPN(dtype=jnp.dtype(dtype))
         self.pre_nms_top_n = pre_nms_top_n
         self.post_nms_top_n = post_nms_top_n
-        fh = image_size // 16
-        self._rpn_anchors = jnp.asarray(
-            generate_anchors(fh, fh, 16, scales=(64, 128, 256, 512),
+
+    def _anchors_for(self, fh: int, fw: int) -> jnp.ndarray:
+        # anchors must match the *actual* C4 map size (conv arithmetic rounds
+        # up per stage; image_size//16 is wrong for e.g. 600 → 38, not 37)
+        return jnp.asarray(
+            generate_anchors(fh, fw, 16, scales=(64, 128, 256, 512),
                              ratios=(0.5, 1.0, 2.0))
         )
 
@@ -461,9 +467,10 @@ class FasterRCNNVGRPNExtractor(FasterRCNNVGExtractor):
         c4 = self.base.apply({"params": params["base"]}, x)["c4"]
         cls, bbox = self.rpn.apply({"params": params["rpn"]}, c4)
         chw = jnp.transpose(c4, (0, 3, 1, 2)).astype(jnp.float32)
+        anchors = self._anchors_for(c4.shape[1], c4.shape[2])
 
         def per_image(feat_chw, cls_i, bbox_i):
-            a = self._rpn_anchors.shape[0] // (cls_i.shape[0] * cls_i.shape[1])
+            a = anchors.shape[0] // (cls_i.shape[0] * cls_i.shape[1])
             # fg scores: second half of the 2A channels (bg/fg layout)
             scores2 = cls_i.reshape(-1, 2 * a)
             fg = jax.nn.softmax(
@@ -471,7 +478,7 @@ class FasterRCNNVGRPNExtractor(FasterRCNNVGExtractor):
             )[..., 1].reshape(-1)
             boxes, scores, valid = rpn_proposals(
                 fg.reshape(cls_i.shape[0], cls_i.shape[1], a),
-                bbox_i, self._rpn_anchors, self.image_size,
+                bbox_i, anchors, self.image_size,
                 self.pre_nms_top_n, self.post_nms_top_n, 0.7, min_size=16.0,
             )
             feats = self._region_feats(params, feat_chw, boxes)
@@ -520,11 +527,6 @@ class GridFeatsX152Extractor(BaseExtractor):
         self.top = ResNetTop(STAGE_BLOCKS["resnet152"][3], dtype=dt,
                              groups=32, base_width=8)
         self.rpn = RPNHead(num_anchors=15, in_channels=1024, dtype=dt)
-        fh = image_size // 16
-        self._anchors = jnp.asarray(
-            generate_anchors(fh, fh, 16, scales=(32, 64, 128, 256, 512),
-                             ratios=(0.5, 1.0, 2.0))
-        )
 
     def init_params(self, rng: jax.Array):
         r1, r2, r3 = jax.random.split(rng, 3)
@@ -541,10 +543,15 @@ class GridFeatsX152Extractor(BaseExtractor):
         c4 = self.base.apply({"params": params["base"]}, x)["c4"]
         logits, deltas = self.rpn.apply({"params": params["rpn"]}, c4)
         chw = jnp.transpose(c4, (0, 3, 1, 2)).astype(jnp.float32)
+        # anchors from the actual C4 grid (conv rounding ≠ image_size//16)
+        anchors = jnp.asarray(
+            generate_anchors(c4.shape[1], c4.shape[2], 16,
+                             scales=(32, 64, 128, 256, 512), ratios=(0.5, 1.0, 2.0))
+        )
 
         def per_image(feat_chw, logits_i, deltas_i):
             boxes, scores, valid = rpn_proposals(
-                logits_i, deltas_i, self._anchors, self.image_size,
+                logits_i, deltas_i, anchors, self.image_size,
                 pre_nms_top_n=2000, post_nms_top_n=self.num_regions, nms_thresh=0.7,
             )
             obj = jax.nn.sigmoid(scores)

@@ -132,6 +132,15 @@ class TestFRCNNExtractors:
         )
         _check_contract(ex, batch=1)
 
+    def test_vg_rpn_non_divisible_image_size(self):
+        """Regression: anchors must match the actual conv-rounded feature-map
+        size, not image_size//16 (e.g. 76 → C4 5×5, but 76//16 = 4)."""
+        ex = get_feature_extractor(
+            "fasterrcnn_vg_rpn", num_regions=4, image_size=76,
+            pre_nms_top_n=32, post_nms_top_n=8, **SMALL
+        )
+        _check_contract(ex, batch=1)
+
     def test_x152_contract(self):
         ex = get_feature_extractor(
             "grid_x152", num_regions=8, image_size=96, **SMALL
