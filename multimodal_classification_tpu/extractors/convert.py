@@ -123,6 +123,193 @@ def convert_vg_rcnn(
     return trunk, top
 
 
+def _linear(sd, key):
+    if key + ".weight" not in sd:
+        return None
+    out = {"kernel": _np(sd[key + ".weight"]).T}
+    if key + ".bias" in sd:
+        out["bias"] = _np(sd[key + ".bias"])
+    return out
+
+
+def _conv_b(sd, key):
+    """Conv with bias (torch [out,in,kh,kw] → flax [kh,kw,in,out])."""
+    c = _conv(sd, key)
+    if c is not None and key + ".bias" in sd:
+        c["bias"] = _np(sd[key + ".bias"])
+    return c
+
+
+def convert_vg_heads(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """VG bottom-up-attention checkpoint → the trained heads the trunk/top
+    converter drops: the 1601-way classifier (``RCNN_cls_score``, reference
+    fasterrcnn_vg.py:372-397 scores proposals with it) and the trained RPN
+    (``RCNN_rpn.RPN_Conv``/``RPN_cls_score``/``RPN_bbox_pred``, reference
+    fasterrcnn_vg_rpn.py:34-105 + load_vg_checkpoint :242-288).
+
+    Returns {"cls": VGClassifierHead params, "rpn": VGRPN params}; either key
+    absent if the checkpoint lacks it.
+    """
+    sd = dict(state_dict)
+    out: Dict[str, Any] = {}
+    cls = _linear(sd, "RCNN_cls_score")
+    if cls is not None:
+        out["cls"] = {"cls_score": cls}
+    rpn: Dict[str, Any] = {}
+    for name in ("RPN_Conv", "RPN_cls_score", "RPN_bbox_pred"):
+        # checkpoints carry either the bare key or the RCNN_rpn. prefix
+        c = _conv_b(sd, f"RCNN_rpn.{name}") or _conv_b(sd, name)
+        _put(rpn, name, c)
+    if rpn:
+        out["rpn"] = rpn
+    return out
+
+
+def convert_torchvision_frcnn_v2(
+    state_dict: Mapping[str, Any], arch: str = "resnet50"
+) -> Dict[str, Any]:
+    """torchvision ``fasterrcnn_resnet50_fpn_v2`` COCO checkpoint →
+    FasterRCNNFPNExtractor params (reference fasterrcnn.py:36-38 downloads
+    exactly this; fasterrcnn_resnet152.py:237-280 grafts its RPN/ROI-head
+    weights onto an R152 backbone by shape-matched copy).
+
+    Returns {"core": {body?, fpn, rpn_head}, "box_head": ..., "box_predictor":
+    ...}. ``body`` is included only when ``arch == "resnet50"`` (for other
+    archs the body keys can't shape-match — the reference's graft skips them
+    the same way).
+    """
+    sd = {k: v for k, v in state_dict.items()}
+    core: Dict[str, Any] = {}
+    if arch == "resnet50":
+        body = convert_torchvision_resnet(sd, "resnet50", stages=4,
+                                          prefix="backbone.body.")
+        if body:
+            core["body"] = body
+
+    # FPN v2: inner/layer blocks are Conv2dNormActivation (conv .0 + BN .1)
+    fpn: Dict[str, Any] = {}
+    for i, cn in enumerate(("c2", "c3", "c4", "c5")):
+        for tv_name, our_name in (("inner_blocks", "inner"), ("layer_blocks", "layer")):
+            blk: Dict[str, Any] = {}
+            _put(blk, "conv", _conv(sd, f"backbone.fpn.{tv_name}.{i}.0"))
+            _put(blk, "bn", _bn(sd, f"backbone.fpn.{tv_name}.{i}.1"))
+            if blk:
+                fpn[f"{our_name}_{cn}"] = blk
+    if fpn:
+        core["fpn"] = fpn
+
+    # RPN head v2: conv = Sequential of 2 Conv2dNormActivation(norm=None)
+    # → plain conv-with-bias at rpn.head.conv.{j}.0
+    rpn: Dict[str, Any] = {}
+    for j in (0, 1):
+        _put(rpn, f"conv{j}", _conv_b(sd, f"rpn.head.conv.{j}.0"))
+    _put(rpn, "cls_logits", _conv_b(sd, "rpn.head.cls_logits"))
+    _put(rpn, "bbox_pred", _conv_b(sd, "rpn.head.bbox_pred"))
+    if rpn:
+        core["rpn_head"] = rpn
+
+    out: Dict[str, Any] = {"core": core}
+
+    # box head (FastRCNNConvFCHead): 4 conv blocks + Flatten(4) + Linear(5).
+    # The Linear consumes torch's (C, H, W) flatten; our head flattens NHWC →
+    # permute the weight columns once here.
+    bh: Dict[str, Any] = {}
+    for j in range(4):
+        blk = {}
+        _put(blk, "conv", _conv(sd, f"roi_heads.box_head.{j}.0"))
+        _put(blk, "bn", _bn(sd, f"roi_heads.box_head.{j}.1"))
+        if blk:
+            bh[f"conv{j}"] = blk
+    if "roi_heads.box_head.5.weight" in sd:
+        w = _np(sd["roi_heads.box_head.5.weight"])  # [1024, 256*7*7] (C,H,W)
+        w = w.reshape(w.shape[0], 256, 7, 7).transpose(0, 2, 3, 1).reshape(w.shape[0], -1)
+        bh["fc"] = {"kernel": w.T, "bias": _np(sd["roi_heads.box_head.5.bias"])}
+    if bh:
+        out["box_head"] = bh
+
+    bp: Dict[str, Any] = {}
+    _put(bp, "cls_score", _linear(sd, "roi_heads.box_predictor.cls_score"))
+    _put(bp, "bbox_pred", _linear(sd, "roi_heads.box_predictor.bbox_pred"))
+    if bp:
+        out["box_predictor"] = bp
+    return out
+
+
+def _d2_conv_bn(sd, key) -> Tuple[Optional[dict], Optional[dict]]:
+    """detectron2 conv-with-attached-norm (``<key>.weight`` +
+    ``<key>.norm.{weight,bias,running_mean,running_var}``)."""
+    c = _conv(sd, key)
+    b = None
+    if key + ".norm.weight" in sd:
+        b = {
+            "scale": _np(sd[key + ".norm.weight"]),
+            "bias": _np(sd[key + ".norm.bias"]),
+            "mean": _np(sd[key + ".norm.running_mean"]),
+            "var": _np(sd[key + ".norm.running_var"]),
+        }
+    return c, b
+
+
+def convert_detectron2_rcnn(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """detectron2 GeneralizedRCNN checkpoint (the X-152++ grid-features model,
+    reference grid_feats_x152.py:29-96) → GridFeatsX152Extractor params.
+
+    detectron2 layout: ``backbone.stem.conv1`` + ``backbone.res{2,3,4}.{b}.
+    {conv1,conv2,conv3,shortcut}`` (norms attached to each conv as ``.norm``),
+    ``roi_heads.res5.{b}.*`` for the C5 top, ``proposal_generator.rpn_head.
+    {conv,objectness_logits,anchor_deltas}``. Returns {"base", "top", "rpn"}.
+    """
+    sd = dict(state_dict)
+    # d2 checkpoints may carry a "model" wrapper and numpy values already
+    base: Dict[str, Any] = {}
+    c, b = _d2_conv_bn(sd, "backbone.stem.conv1")
+    _put(base, "conv1", c)
+    _put(base, "bn1", b)
+    for stage, res in ((1, "res2"), (2, "res3"), (3, "res4")):
+        layer: Dict[str, Any] = {}
+        bidx = 0
+        while f"backbone.{res}.{bidx}.conv1.weight" in sd:
+            blk: Dict[str, Any] = {}
+            for i in (1, 2, 3):
+                c, b = _d2_conv_bn(sd, f"backbone.{res}.{bidx}.conv{i}")
+                _put(blk, f"conv{i}", c)
+                _put(blk, f"bn{i}", b)
+            c, b = _d2_conv_bn(sd, f"backbone.{res}.{bidx}.shortcut")
+            _put(blk, "downsample_conv", c)
+            _put(blk, "downsample_bn", b)
+            layer[f"block_{bidx}"] = blk
+            bidx += 1
+        if layer:
+            base[f"layer{stage}"] = layer
+    out: Dict[str, Any] = {}
+    if base:
+        out["base"] = base
+
+    top_layer: Dict[str, Any] = {}
+    bidx = 0
+    while f"roi_heads.res5.{bidx}.conv1.weight" in sd:
+        blk = {}
+        for i in (1, 2, 3):
+            c, b = _d2_conv_bn(sd, f"roi_heads.res5.{bidx}.conv{i}")
+            _put(blk, f"conv{i}", c)
+            _put(blk, f"bn{i}", b)
+        c, b = _d2_conv_bn(sd, f"roi_heads.res5.{bidx}.shortcut")
+        _put(blk, "downsample_conv", c)
+        _put(blk, "downsample_bn", b)
+        top_layer[f"block_{bidx}"] = blk
+        bidx += 1
+    if top_layer:
+        out["top"] = {"layer4": top_layer}
+
+    rpn: Dict[str, Any] = {}
+    _put(rpn, "conv", _conv_b(sd, "proposal_generator.rpn_head.conv"))
+    _put(rpn, "cls_logits", _conv_b(sd, "proposal_generator.rpn_head.objectness_logits"))
+    _put(rpn, "bbox_pred", _conv_b(sd, "proposal_generator.rpn_head.anchor_deltas"))
+    if rpn:
+        out["rpn"] = rpn
+    return out
+
+
 def _interp_pos_embed(pos: np.ndarray, target_tokens: int) -> np.ndarray:
     """Bilinearly resample a [1, 1+N, W] ViT position table to a new grid
     (DINOv2's interpolate_pos_encoding, done once at conversion time)."""

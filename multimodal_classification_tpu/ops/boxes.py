@@ -45,11 +45,17 @@ def clip_boxes(boxes: jnp.ndarray, height: float, width: float) -> jnp.ndarray:
     return jnp.stack([x1, y1, x2, y2], axis=-1)
 
 
-def decode_deltas(anchors: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
+def decode_deltas(
+    anchors: jnp.ndarray,
+    deltas: jnp.ndarray,
+    weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
+) -> jnp.ndarray:
     """Apply (dx, dy, dw, dh) regression deltas to anchors.
 
     Exp is clamped at log(1000/16) — matches the reference's RPN decode
-    (fasterrcnn_vg_rpn.py:141-175) and torchvision's BoxCoder.
+    (fasterrcnn_vg_rpn.py:141-175) and torchvision's BoxCoder. ``weights``
+    divide the raw deltas first (torchvision's ROI-head BoxCoder uses
+    (10, 10, 5, 5); RPNs use unit weights).
     anchors/deltas: [..., 4] → boxes [..., 4].
     """
     widths = anchors[..., 2] - anchors[..., 0]
@@ -57,7 +63,7 @@ def decode_deltas(anchors: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
     ctr_x = anchors[..., 0] + 0.5 * widths
     ctr_y = anchors[..., 1] + 0.5 * heights
 
-    dx, dy, dw, dh = (deltas[..., i] for i in range(4))
+    dx, dy, dw, dh = (deltas[..., i] / weights[i] for i in range(4))
     dw = jnp.clip(dw, a_max=BBOX_XFORM_CLIP)
     dh = jnp.clip(dh, a_max=BBOX_XFORM_CLIP)
 
@@ -83,24 +89,60 @@ def generate_anchors(
     stride: int = 16,
     scales: Sequence[float] = (64, 128, 256, 512),
     ratios: Sequence[float] = (0.5, 1.0, 2.0),
+    offset: float = 0.5,
 ) -> np.ndarray:
     """Dense anchor grid, centred per cell: [H*W*A, 4], numpy (static).
 
     Matches the reference RPN's meshgrid construction
     (fasterrcnn_vg_rpn.py:106-140): A = len(scales)·len(ratios) anchors per
-    cell ordered scales-major within cell, cells row-major.
+    cell, scale-major / ratio-minor within cell (the reference's
+    ``for scale: for ratio:`` loop order — this pairing must match the
+    trained RPN head's output-channel order), cells row-major.
     """
     scales = np.asarray(scales, np.float32)
     ratios = np.asarray(ratios, np.float32)
-    # base anchors centred at (stride/2, stride/2)
-    ws = (scales[None, :] * np.sqrt(1.0 / ratios)[:, None]).reshape(-1)  # [A]
-    hs = (scales[None, :] * np.sqrt(ratios)[:, None]).reshape(-1)
+    # base anchors centred at (stride/2, stride/2); [scale, ratio] → flat
+    ws = (scales[:, None] * np.sqrt(1.0 / ratios)[None, :]).reshape(-1)  # [A]
+    hs = (scales[:, None] * np.sqrt(ratios)[None, :]).reshape(-1)
     base = np.stack([-ws / 2, -hs / 2, ws / 2, hs / 2], axis=-1)  # [A, 4]
 
-    shift_x = (np.arange(feat_width, dtype=np.float32) + 0.5) * stride
-    shift_y = (np.arange(feat_height, dtype=np.float32) + 0.5) * stride
+    # cell-centre offset: 0.5 = the reference RPN's ``+ stride // 2``
+    # (fasterrcnn_vg_rpn.py:120-127); detectron2's DefaultAnchorGenerator
+    # uses offset 0.0 (grid origins) — pass 0.0 for the X-152++ path.
+    shift_x = (np.arange(feat_width, dtype=np.float32) + offset) * stride
+    shift_y = (np.arange(feat_height, dtype=np.float32) + offset) * stride
     sx, sy = np.meshgrid(shift_x, shift_y)  # [H, W]
     shifts = np.stack([sx, sy, sx, sy], axis=-1).reshape(-1, 1, 4)  # [H*W, 1, 4]
+    return (shifts + base[None]).reshape(-1, 4).astype(np.float32)
+
+
+def generate_anchors_torchvision(
+    feat_height: int,
+    feat_width: int,
+    stride: int,
+    sizes: Sequence[float],
+    ratios: Sequence[float] = (0.5, 1.0, 2.0),
+) -> np.ndarray:
+    """torchvision ``AnchorGenerator`` semantics → [H*W*A, 4], numpy.
+
+    Differs from :func:`generate_anchors` (the reference's hand-rolled VG
+    RPN) in three ways that matter once COCO-trained RPN weights are loaded:
+    cell origins at ``i*stride`` (no half-cell centring), base anchors
+    ``round()``-ed, and ratio-major ordering
+    (``ws = (w_ratios[:, None] * scales[None, :]).view(-1)``).
+    """
+    sizes = np.asarray(sizes, np.float32)
+    ratios = np.asarray(ratios, np.float32)
+    h_ratios = np.sqrt(ratios)
+    w_ratios = 1.0 / h_ratios
+    ws = (w_ratios[:, None] * sizes[None, :]).reshape(-1)  # ratio-major
+    hs = (h_ratios[:, None] * sizes[None, :]).reshape(-1)
+    base = np.round(np.stack([-ws, -hs, ws, hs], axis=-1) / 2.0)  # [A, 4]
+
+    shift_x = np.arange(feat_width, dtype=np.float32) * stride
+    shift_y = np.arange(feat_height, dtype=np.float32) * stride
+    sx, sy = np.meshgrid(shift_x, shift_y)
+    shifts = np.stack([sx, sy, sx, sy], axis=-1).reshape(-1, 1, 4)
     return (shifts + base[None]).reshape(-1, 4).astype(np.float32)
 
 
