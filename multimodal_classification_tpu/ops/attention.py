@@ -75,9 +75,9 @@ def attention_core(
     if impl in ("pallas", "auto"):
         from multimodal_classification_tpu.ops import pallas_kernels
 
-        # the fused kernel has no attention-prob dropout; maybe_fused_attention
-        # returns None whenever dropout_rate > 0, falling through to XLA
-        fn = pallas_kernels.maybe_fused_attention(q, k, v, bias, dropout_rate)
+        fn = pallas_kernels.maybe_fused_attention(
+            q, k, v, bias, dropout_rate, dropout_rng
+        )
         if fn is not None:
             return fn()
         if impl == "pallas":
@@ -110,7 +110,7 @@ def bi_attention_core(
         from multimodal_classification_tpu.ops import pallas_kernels
 
         fn = pallas_kernels.maybe_fused_bi_attention(
-            q1, kv1, q2, kv2, bias1, bias2, dropout_rate
+            q1, kv1, q2, kv2, bias1, bias2, dropout_rate, dropout_rngs
         )
         if fn is not None:
             return fn()

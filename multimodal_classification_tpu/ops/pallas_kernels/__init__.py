@@ -26,27 +26,33 @@ def maybe_fused_attention(
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray],
     dropout_rate: float,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Optional[Callable[[], jnp.ndarray]]:
     """Return a thunk computing fused attention, or None to use the XLA path.
 
-    The fused kernel does not implement attention-prob dropout (train steps
-    with dropout>0 use the XLA path, where XLA still fuses well at these tiny
-    sequence lengths; the kernel's win is eval/serving).
+    Serves training too: attention-prob dropout is applied inside the kernel
+    (bits drawn from ``dropout_rng``), and gradients come from the fused
+    backward kernel.
     """
-    if dropout_rate > 0.0 or not on_tpu():
+    if not on_tpu():
+        return None
+    if dropout_rate > 0.0 and dropout_rng is None:
         return None
     from multimodal_classification_tpu.ops.pallas_kernels import attention as attn_k
 
     if not attn_k.supports(q, k, v, bias):
         return None
-    return lambda: attn_k.fused_attention(q, k, v, bias)
+    return lambda: attn_k.fused_attention(q, k, v, bias, dropout_rate, dropout_rng)
 
 
 def maybe_fused_bi_attention(
-    q1, kv1, q2, kv2, bias1, bias2, dropout_rate: float
+    q1, kv1, q2, kv2, bias1, bias2, dropout_rate: float, dropout_rngs=None
 ) -> Optional[Callable[[], tuple]]:
-    """Fused both-direction co-attention, or None for the XLA path."""
-    if dropout_rate > 0.0 or not on_tpu():
+    """Fused both-direction co-attention (training included), or None for
+    the XLA path."""
+    if not on_tpu():
+        return None
+    if dropout_rate > 0.0 and dropout_rngs is None:
         return None
     from multimodal_classification_tpu.ops.pallas_kernels import bi_attention as bk
 
@@ -54,4 +60,6 @@ def maybe_fused_bi_attention(
     k1, v1 = kv2
     if not bk.supports(q1, k2, v2, q2, k1, v1):
         return None
-    return lambda: bk.fused_bi_attention(q1, k2, v2, q2, k1, v1, bias1, bias2)
+    return lambda: bk.fused_bi_attention(
+        q1, k2, v2, q2, k1, v1, bias1, bias2, dropout_rate, dropout_rngs
+    )
