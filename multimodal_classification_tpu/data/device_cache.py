@@ -257,19 +257,13 @@ def sharded_epoch_indices(
         yield np.stack([o[start : start + per_dev] for o in orders]).astype(np.int32)
 
 
-def make_sharded_device_train_step(model, loss_fn, tx, mesh):
-    """Multi-chip device-resident train step: each device gathers its batch
-    slice from its local dataset shard (shard_map — no data collectives on
-    the input path), then the usual dp training step; gradient all-reduce is
-    inserted by XLA from the shardings."""
+def _make_local_gather(mesh):
+    """shard_map'd per-device gather: each device indexes its local dataset
+    shard with its row of the [dp, B/dp] index matrix — no input collectives."""
     from functools import partial
 
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
-
-    from multimodal_classification_tpu.training.train import TrainState, model_inputs
-
-    import optax
 
     # P("dp") as a pytree *prefix* shards every DeviceData leaf's example axis
     @partial(
@@ -284,17 +278,36 @@ def make_sharded_device_train_step(model, loss_fn, tx, mesh):
         idx = local_idx[0]
         return jax.tree.map(lambda a: a[idx], data_shard)
 
+    return local_gather
+
+
+def _gathered_batch(local_gather, data: DeviceData, local_indices):
+    batch_data = local_gather(data, local_indices)
+    batch = {f.name: getattr(batch_data, f.name)
+             for f in dataclasses.fields(DeviceData)}
+    scales = batch.pop("feature_scales", None)
+    if scales is not None:  # int8-stored features → dequantise
+        batch["visual_features"] = (
+            batch["visual_features"].astype(jnp.bfloat16)
+            * scales[..., None].astype(jnp.bfloat16)
+        )
+    return batch
+
+
+def make_sharded_device_train_step(model, loss_fn, tx, mesh):
+    """Multi-chip device-resident train step: each device gathers its batch
+    slice from its local dataset shard (shard_map — no data collectives on
+    the input path), then the usual dp training step; gradient all-reduce is
+    inserted by XLA from the shardings."""
+    from multimodal_classification_tpu.training.train import TrainState, model_inputs
+
+    import optax
+
+    local_gather = _make_local_gather(mesh)
+
     def step(state: "TrainState", data: DeviceData, local_indices, rng):
         rng = jax.random.fold_in(rng, state.step)
-        batch_data = local_gather(data, local_indices)
-        batch = {f.name: getattr(batch_data, f.name)
-                 for f in dataclasses.fields(DeviceData)}
-        scales = batch.pop("feature_scales", None)
-        if scales is not None:  # int8-stored features → dequantise
-            batch["visual_features"] = (
-                batch["visual_features"].astype(jnp.bfloat16)
-                * scales[..., None].astype(jnp.bfloat16)
-            )
+        batch = _gathered_batch(local_gather, data, local_indices)
 
         def loss_of(params):
             out = model.apply(
@@ -309,3 +322,19 @@ def make_sharded_device_train_step(model, loss_fn, tx, mesh):
         return TrainState(state.step + 1, params, opt_state), {"loss": loss}
 
     return step
+
+
+def make_sharded_device_eval_step(model, mesh):
+    """Multi-chip device-resident eval: shard-local gather → forward →
+    fp32 logits (globally [B, C], dp-sharded on the batch axis)."""
+    from multimodal_classification_tpu.training.train import model_inputs
+
+    local_gather = _make_local_gather(mesh)
+
+    def eval_step(params, data: DeviceData, local_indices):
+        batch = _gathered_batch(local_gather, data, local_indices)
+        out = model.apply({"params": params}, **model_inputs(batch),
+                          deterministic=True)
+        return out["logits"].astype(jnp.float32)
+
+    return eval_step

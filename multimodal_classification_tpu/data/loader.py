@@ -198,7 +198,12 @@ class BatchLoader:
                 raise item
             yield item
 
-    def __call__(self):
+    def __call__(self, epoch: Optional[int] = None):
+        """Fresh iterator. With ``epoch`` the shuffle is keyed on it (the
+        Trainer passes the epoch so a resumed run replays the exact order);
+        without, the loader's internal counter advances as before."""
+        if epoch is not None:
+            self._epoch = int(epoch)
         return iter(self)
 
 

@@ -128,6 +128,85 @@ def convert_facebook_vilbert(
     return p
 
 
+def fabricate_facebook_state_dict(cfg, seed: int = 0, with_head: bool = True):
+    """Random torch state dict with the EXACT Facebook-arch key layout
+    (vilbert_facebook_arch.py:7-21; what ``load_facebook_weights`` consumes).
+
+    Used by tests and the offline dry run of scripts/reproduce_lmdb_auroc.py
+    to exercise :func:`convert_facebook_vilbert` without the real (network-
+    gated) checkpoint. ``cfg`` is a ViLBERTConfig or a kwargs mapping.
+    """
+    import torch
+
+    from multimodal_classification_tpu.config import facebook_vilbert_config
+
+    if isinstance(cfg, Mapping):
+        known = {
+            f.name for f in __import__("dataclasses").fields(ViLBERTConfig)
+        }
+        cfg = facebook_vilbert_config(**{k: v for k, v in cfg.items() if k in known})
+    g = torch.Generator().manual_seed(seed)
+    sd: Dict[str, Any] = {}
+
+    def lin(key, din, dout, scale=0.02):
+        sd[f"{key}.weight"] = torch.randn(dout, din, generator=g) * scale
+        sd[f"{key}.bias"] = torch.zeros(dout)
+
+    def ln(key, d):
+        sd[f"{key}.weight"] = torch.ones(d)
+        sd[f"{key}.bias"] = torch.zeros(d)
+
+    def emb(key, n, d):
+        sd[f"{key}.weight"] = torch.randn(n, d, generator=g) * 0.02
+
+    h, vh, bi = cfg.hidden_size, cfg.v_hidden_size, cfg.bi_hidden_size
+    emb("bert.embeddings.word_embeddings", cfg.vocab_size, h)
+    emb("bert.embeddings.position_embeddings", cfg.max_position_embeddings, h)
+    emb("bert.embeddings.token_type_embeddings", cfg.type_vocab_size, h)
+    ln("bert.embeddings.LayerNorm", h)
+    lin("bert.v_embeddings.image_embeddings", cfg.v_feature_size, vh)
+    lin("bert.v_embeddings.image_location_embeddings", 5, vh)
+    ln("bert.v_embeddings.LayerNorm", vh)
+
+    def bert_layer(pre, d, inter):
+        for qkv in ("query", "key", "value"):
+            lin(f"{pre}.attention.self.{qkv}", d, d)
+        lin(f"{pre}.attention.output.dense", d, d)
+        ln(f"{pre}.attention.output.LayerNorm", d)
+        lin(f"{pre}.intermediate.dense", d, inter)
+        lin(f"{pre}.output.dense", inter, d)
+        ln(f"{pre}.output.LayerNorm", d)
+
+    for i in range(cfg.num_hidden_layers):
+        bert_layer(f"bert.encoder.layer.{i}", h, cfg.intermediate_size)
+    for i in range(cfg.v_num_hidden_layers):
+        bert_layer(f"bert.encoder.v_layer.{i}", vh, cfg.v_intermediate_size)
+    for i in range(len(cfg.co_attention_text_layers)):
+        base = f"bert.encoder.c_layer.{i}"
+        for proj, din in (("query1", vh), ("key1", vh), ("value1", vh),
+                          ("query2", h), ("key2", h), ("value2", h)):
+            lin(f"{base}.biattention.{proj}", din, bi)
+        lin(f"{base}.biOutput.dense1", bi, vh)
+        ln(f"{base}.biOutput.LayerNorm1", vh)
+        lin(f"{base}.biOutput.q_dense1", bi, vh)  # dead param, present upstream
+        lin(f"{base}.biOutput.dense2", bi, h)
+        ln(f"{base}.biOutput.LayerNorm2", h)
+        lin(f"{base}.biOutput.q_dense2", bi, h)  # dead param, present upstream
+        lin(f"{base}.v_intermediate.dense", vh, cfg.v_intermediate_size)
+        lin(f"{base}.v_output.dense", cfg.v_intermediate_size, vh)
+        ln(f"{base}.v_output.LayerNorm", vh)
+        lin(f"{base}.t_intermediate.dense", h, cfg.intermediate_size)
+        lin(f"{base}.t_output.dense", cfg.intermediate_size, h)
+        ln(f"{base}.t_output.LayerNorm", h)
+
+    lin("bert.t_pooler.dense", h, bi)
+    lin("bert.v_pooler.dense", vh, bi)
+    if with_head:
+        lin("classifier.1", 2 * bi, cfg.classifier_hidden_size)
+        lin("classifier.4", cfg.classifier_hidden_size, cfg.num_labels)
+    return sd
+
+
 CORE_PREFIXES = ("module.", "model.", "vilbert.")
 
 

@@ -33,6 +33,14 @@ _TRAIN_VARIANTS = [
     "precomputed",
     "lmdb",
     "x152",
+    # ablation variants (the reference's regression grid, BASELINE.md:
+    # freeze-6 deltas, focal-loss deltas, LMDB batch 16 vs 32 = +1.47 pts)
+    "lmdb_b32",
+    "lmdb_freeze6",
+    "lmdb_focal",
+    "resnet152_roi_freeze6",
+    "resnet152_roi_focal",
+    "dinov2_freeze6",
 ]
 
 

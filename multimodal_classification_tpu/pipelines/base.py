@@ -247,9 +247,10 @@ def run_training_pipeline(
         model, init_params = build_model_and_params(ex, root)
         out_dir = os.path.join(root, ex.output_dir)
         trainer = Trainer(model, ex, tracker=tracker, checkpoint_dir=out_dir)
+        # device-resident training shards the dataset over dp (any dp size);
+        # mp>1 needs the host-fed fit() path (tensor-parallel params)
         use_device_resident = (
             ex.data.device_resident
-            and trainer.mesh.shape.get("dp", 1) == 1
             and trainer.mesh.shape.get("mp", 1) == 1
         )
         if use_device_resident:

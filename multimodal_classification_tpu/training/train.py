@@ -16,7 +16,10 @@ TPU-native redesign of the reference's torch loop (nodes.py:712-841):
 from __future__ import annotations
 
 import dataclasses
+import inspect
+import json
 import logging
+import os
 import time
 from typing import Any, Callable, Dict, Iterable, Mapping, Optional, Tuple
 
@@ -109,6 +112,19 @@ jax.tree_util.register_dataclass(
 
 def model_inputs(batch: Mapping[str, Any]) -> Dict[str, Any]:
     return {k: batch[k] for k in MODEL_INPUT_KEYS if k in batch}
+
+
+def _accepts_epoch(fn: Callable) -> bool:
+    """True if a data callable takes an epoch argument (used for exactly
+    reproducible per-epoch shuffles across resumes)."""
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return False
+    return len([
+        p for p in sig.parameters.values()
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+    ]) >= 1
 
 
 def make_train_step(model, loss_fn, tx) -> Callable:
@@ -215,9 +231,14 @@ class Trainer:
     ) -> Tuple[TrainState, Dict[str, list]]:
         """Train with per-epoch validation + early stopping.
 
-        ``resume=True`` restores the "last" checkpoint (params only; a fresh
-        optimizer continues from the restored weights) — mid-run resume the
-        reference lacks entirely (SURVEY.md §5: best state lives in RAM).
+        ``resume=True`` restores the FULL train state from the "last"
+        checkpoint — params, optimizer state (so Adam moments and the LR
+        schedule's step counter continue exactly), step, epoch, best-AUROC /
+        patience bookkeeping, and history — producing the same trajectory an
+        uninterrupted run would (the dropout stream is keyed on the restored
+        step, and epoch data order is keyed on the epoch when ``train_data``
+        accepts one). Mid-run resume is something the reference lacks
+        entirely (SURVEY.md §5: best state lives in RAM).
         """
         tcfg = self.tcfg
         seed = tcfg.seed if rng_seed is None else rng_seed
@@ -225,17 +246,36 @@ class Trainer:
 
         if init_params is None:
             raise ValueError("init_params required (use models.init_params)")
-        start_epoch = 1
-        if resume and self.ckpt.exists("last"):
-            restored = self.ckpt.restore("last")
-            init_params = jax.tree.map(
-                lambda a, b: np.asarray(b, a.dtype) if hasattr(a, "dtype") else b,
-                init_params, restored["params"],
-            )
-            start_epoch = int(restored.get("epoch", 0)) + 1
-            logger.info("resumed from epoch %d", start_epoch - 1)
         total_steps = steps_per_epoch * tcfg.num_epochs
         state, train_step, eval_step = self.init_state(init_params, total_steps)
+        start_epoch = 1
+        best_auroc, patience, best_epoch = 0.0, 0, 0
+        if resume and self.ckpt.exists("last"):
+            template = {
+                "state": state,
+                "meta": {"epoch": 0, "best_auroc": 0.0, "patience": 0,
+                         "best_epoch": 0},
+            }
+            restored = self.ckpt.restore("last", template)
+            sh = param_shardings(restored["state"].params, self.mesh)
+            state = TrainState(
+                jax.device_put(restored["state"].step),
+                jax.tree.map(jax.device_put, restored["state"].params, sh),
+                jax.tree.map(jax.device_put, restored["state"].opt_state),
+            )
+            meta = restored["meta"]
+            start_epoch = int(meta["epoch"]) + 1
+            best_auroc = float(meta["best_auroc"])
+            patience = int(meta["patience"])
+            best_epoch = int(meta["best_epoch"])
+            hist_path = os.path.join(self.ckpt.directory, "history.json")
+            if os.path.exists(hist_path):
+                with open(hist_path) as f:
+                    self.history = json.load(f)
+            logger.info(
+                "resumed full state from epoch %d (step %d, best %.4f)",
+                start_epoch - 1, int(np.asarray(state.step)), best_auroc,
+            )
 
         n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))
         self.tracker.log_params(
@@ -252,13 +292,13 @@ class Trainer:
             }
         )
 
-        best_auroc, patience, best_epoch = 0.0, 0, 0
         dropout_rng = jax.random.fold_in(rng, 1)
+        takes_epoch = _accepts_epoch(train_data)
 
         for epoch in range(start_epoch, tcfg.num_epochs + 1):
             t0 = time.time()
             losses, n_seen = [], 0
-            for batch in train_data():
+            for batch in (train_data(epoch) if takes_epoch else train_data()):
                 dev_batch = self.put_batch(batch)
                 n_seen += int(batch.get("weights", batch["labels"] * 0 + 1).sum())
                 state, metrics = train_step(state, dev_batch, dropout_rng)
@@ -287,18 +327,27 @@ class Trainer:
                 val_metrics["auroc"], dt,
             )
 
+            stop = False
             if val_metrics["auroc"] > best_auroc:
                 best_auroc, best_epoch, patience = val_metrics["auroc"], epoch, 0
                 self.ckpt.save("best", {"params": state.params, "epoch": epoch,
                                         "val_auroc": best_auroc})
             else:
                 patience += 1
-                if patience >= tcfg.early_stopping_patience:
-                    logger.info("early stopping at epoch %d (best %.4f @ %d)",
-                                epoch, best_auroc, best_epoch)
-                    break
-            self.ckpt.save("last", {"params": state.params, "epoch": epoch,
-                                    "step": np.asarray(state.step)})
+                stop = patience >= tcfg.early_stopping_patience
+            # "last" is saved on EVERY epoch, including the early-stop one —
+            # full state so resume continues the exact trajectory
+            self.ckpt.save("last", {
+                "state": state,
+                "meta": {"epoch": epoch, "best_auroc": float(best_auroc),
+                         "patience": int(patience), "best_epoch": int(best_epoch)},
+            })
+            with open(os.path.join(self.ckpt.directory, "history.json"), "w") as f:
+                json.dump(self.history, f)
+            if stop:
+                logger.info("early stopping at epoch %d (best %.4f @ %d)",
+                            epoch, best_auroc, best_epoch)
+                break
 
         # restore best params (reference restores the RAM clone, nodes.py:836-838)
         if self.ckpt.exists("best"):
@@ -317,54 +366,106 @@ class Trainer:
     ) -> Tuple[TrainState, Dict[str, list]]:
         """Train with the whole tensorised dataset resident in HBM
         (data/device_cache.py): batches gather by index inside the jitted
-        step; only int32 indices cross the host link. Single-chip dp only in
-        this round (multi-chip uses the host loader path)."""
+        step; only int32 indices cross the host link.
+
+        Multi-chip: with a dp>1 mesh the dataset's example axis is sharded
+        over dp, each chip gathers its batch slice from its local shard
+        (shard_map, no input collectives), and gradients all-reduce over ICI
+        — SURVEY.md §7.4. mp>1 is not supported on this path (params are
+        replicated); use fit() for tensor parallelism.
+        """
         from multimodal_classification_tpu.data.device_cache import (
             build_device_data,
+            build_sharded_device_data,
             epoch_indices,
             make_device_eval_step,
             make_device_train_step,
+            make_sharded_device_eval_step,
+            make_sharded_device_train_step,
+            sharded_epoch_indices,
         )
 
-        if self.mesh.shape.get("dp", 1) != 1 or self.mesh.shape.get("mp", 1) != 1:
-            raise ValueError("device-resident training supports a 1-device mesh; "
-                             "use fit() for multi-chip")
+        dp = self.mesh.shape.get("dp", 1)
+        if self.mesh.shape.get("mp", 1) != 1:
+            raise ValueError("device-resident training shards data over dp only; "
+                             "use fit() for mp>1 meshes")
         tcfg = self.tcfg
         seed = tcfg.seed if rng_seed is None else rng_seed
         dtype = jnp.bfloat16 if self.cfg.model.dtype == "bfloat16" else jnp.float32
-        train_data = build_device_data(train_ds, feature_dtype=dtype)
-        val_data = build_device_data(val_ds, feature_dtype=dtype)
+        if dp > 1:
+            train_data = build_sharded_device_data(train_ds, self.mesh, feature_dtype=dtype)
+            val_data = build_sharded_device_data(val_ds, self.mesh, feature_dtype=dtype)
+        else:
+            train_data = build_device_data(train_ds, feature_dtype=dtype)
+            val_data = build_device_data(val_ds, feature_dtype=dtype)
 
         steps_per_epoch = max(train_data.num_examples // tcfg.batch_size, 1)
         total_steps = steps_per_epoch * tcfg.num_epochs
         tx = make_optimizer(tcfg, total_steps, init_params, self.cfg.freeze_bert_layers)
-        opt_state = tx.init(init_params)
+        if dp > 1:
+            # params replicated over the mesh so shard_map's closed-over data
+            # sharding and the batch dp sharding compose
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            init_params = jax.tree.map(lambda x: jax.device_put(x, rep), init_params)
+            opt_state = jax.jit(tx.init, out_shardings=rep)(init_params)
+            step = jax.jit(
+                make_sharded_device_train_step(self.model, self.loss_fn, tx, self.mesh),
+                donate_argnums=0,
+            )
+            eval_step = jax.jit(make_sharded_device_eval_step(self.model, self.mesh))
+        else:
+            opt_state = tx.init(init_params)
+            step = jax.jit(make_device_train_step(self.model, self.loss_fn, tx),
+                           donate_argnums=0)
+            eval_step = jax.jit(make_device_eval_step(self.model))
         state = TrainState(jnp.zeros((), jnp.int32), init_params, opt_state)
-        step = jax.jit(make_device_train_step(self.model, self.loss_fn, tx),
-                       donate_argnums=0)
-        eval_step = jax.jit(make_device_eval_step(self.model))
         rng = jax.random.key(seed, impl=tcfg.rng_impl)
+
+        def _val_batches(n):
+            if dp > 1:
+                yield from sharded_epoch_indices(n, dp, tcfg.batch_size, 0, seed=0)
+            else:
+                yield from epoch_indices(n, tcfg.batch_size, 0, seed=0, drop_last=False)
 
         def eval_metrics(params) -> Dict[str, float]:
             logits_all, labels_all = [], []
             n = val_data.num_examples
-            for idx in epoch_indices(n, tcfg.batch_size, 0, seed=0, drop_last=False):
+            labels_host = np.asarray(val_data.labels)
+            for idx in _val_batches(n):
                 logits = np.asarray(eval_step(params, val_data, jnp.asarray(idx)))
                 logits_all.append(logits)
-                labels_all.append(np.asarray(val_data.labels)[idx])
-            logits = np.concatenate(logits_all)[:n]
-            labels = np.concatenate(labels_all)[:n]
+                if dp > 1:
+                    # shard-local rows: global example = shard * (n/dp) + idx
+                    shard_n = n // dp
+                    gidx = (np.arange(dp)[:, None] * shard_n + idx).reshape(-1)
+                    labels_all.append(labels_host[gidx])
+                else:
+                    labels_all.append(labels_host[idx])
+            logits = np.concatenate(logits_all)
+            labels = np.concatenate(labels_all)
+            if dp == 1:
+                logits, labels = logits[:n], labels[:n]
             z = logits - logits.max(-1, keepdims=True)
             p = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
             nll = -np.log(np.maximum(p[np.arange(len(labels)), labels], 1e-12)).mean()
             return binary_metrics(labels, p[:, 1], loss=float(nll))
 
+        def _train_batches(epoch):
+            if dp > 1:
+                yield from sharded_epoch_indices(
+                    train_data.num_examples, dp, tcfg.batch_size, epoch, seed=seed
+                )
+            else:
+                yield from epoch_indices(train_data.num_examples, tcfg.batch_size,
+                                         epoch, seed=seed)
+
         best_auroc, patience, best_epoch = 0.0, 0, 0
         for epoch in range(1, tcfg.num_epochs + 1):
             t0 = time.time()
             losses = []
-            for idx in epoch_indices(train_data.num_examples, tcfg.batch_size,
-                                     epoch, seed=seed):
+            for idx in _train_batches(epoch):
                 state, m = step(state, train_data, jnp.asarray(idx), rng)
                 losses.append(m["loss"])
             train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else 0.0

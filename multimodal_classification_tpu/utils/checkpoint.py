@@ -38,11 +38,16 @@ class CheckpointManager:
     def restore(self, name: str, template: Optional[Any] = None) -> Any:
         path = self._path(name)
         if template is not None:
+            # restore as host numpy (callers device_put with their shardings);
+            # the template only supplies the pytree structure + dtypes
             restore_args = jax.tree.map(
-                lambda x: ocp.ArrayRestoreArgs(dtype=x.dtype) if hasattr(x, "dtype") else None,
-                template,
+                lambda x: ocp.RestoreArgs(restore_type=np.ndarray, dtype=x.dtype)
+                if hasattr(x, "dtype") else ocp.RestoreArgs(),
+                _to_host(template),
             )
-            return self._ckptr.restore(path, item=template, restore_args=restore_args)
+            return self._ckptr.restore(
+                path, item=_to_host(template), restore_args=restore_args
+            )
         return self._ckptr.restore(path)
 
     def exists(self, name: str) -> bool:

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Reproduce the reference's headline number: 0.7580 test AUROC on
+vilbert_lmdb_train (reference RESULTS_ANALYSIS.md:11, training_history.json).
+
+Staged end-to-end, ready for the moment the network gate opens:
+
+  1. download the Hateful Memes metadata + Facebook's detectron.lmdb +
+     the Facebook ViLBERT CC checkpoint (existing gated download scripts);
+  2. convert the torch checkpoint to our Flax layout;
+  3. run the ``vilbert_lmdb_train`` pipeline;
+  4. gate the resulting test AUROC against [0.74, 0.77] — the reference's
+     0.7580 ± noise band (RNG/data-order differences make exact-point
+     matching meaningless; SURVEY.md §7 hard part (c)).
+
+Offline dry run (no network): ``--dry-run`` fabricates a tiny project with
+the exact artifact layout (JSONL splits + real-format detectron.lmdb + a
+fabricated torch checkpoint with the upstream key layout), runs the same
+steps 2-4 against it, and gates on the synthetic-signal AUROC instead.
+
+Usage:
+  python scripts/reproduce_lmdb_auroc.py --root /path/to/project
+  python scripts/reproduce_lmdb_auroc.py --dry-run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import subprocess
+import sys
+
+logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+logger = logging.getLogger("reproduce_lmdb")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+AUROC_BAND = (0.74, 0.77)  # reference 0.7580 ± noise
+
+
+def run(cmd, **kw):
+    logger.info("$ %s", " ".join(cmd))
+    subprocess.run(cmd, check=True, **kw)
+
+
+def download_all(root: str) -> str:
+    """Step 1 — network-gated artifact downloads. Returns checkpoint path."""
+    scripts = os.path.join(REPO, "scripts")
+    run([sys.executable, os.path.join(scripts, "download_hateful_memes.py"),
+         "--output", os.path.join(root, "data/01_raw/hateful_memes")])
+    run([sys.executable, os.path.join(scripts, "download_lmdb.py"),
+         "--output", os.path.join(root, "data/01_raw/lmdb_features")])
+    run([sys.executable, os.path.join(scripts, "download_weights.py"),
+         "--source", "vilbert_cc", "--output", os.path.join(root, "weights")])
+    return os.path.join(root, "weights", "vilbert_cc.bin")
+
+
+def fabricate_project(root: str) -> str:
+    """--dry-run step 1: offline fixture with the exact artifact layout."""
+    import numpy as np
+    import torch
+    import yaml
+
+    sys.path.insert(0, REPO)
+    from multimodal_classification_tpu.data.lmdb_store import write_feature_lmdb
+    from multimodal_classification_tpu.data.tokenizer import build_test_vocab
+    from multimodal_classification_tpu.models.convert import (
+        fabricate_facebook_state_dict,
+    )
+
+    os.makedirs(os.path.join(root, "data/01_raw/hateful_memes"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    n = {"train": 96, "dev": 32, "test": 32}
+    all_ids, all_labels = [], []
+    for split, count in n.items():
+        rows = []
+        for i in range(count):
+            ex_id = f"{split}{i:04d}"
+            label = int(rng.integers(0, 2))
+            rows.append({"id": ex_id, "img": f"img/{ex_id}.png",
+                         "label": label, "text": f"meme text {i}"})
+            all_ids.append(ex_id)
+            all_labels.append(label)
+        with open(os.path.join(root, "data/01_raw/hateful_memes", f"{split}.jsonl"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    feats = rng.standard_normal((len(all_ids), 10, 128)).astype(np.float32)
+    feats[:, :, :8] += np.asarray(all_labels, np.float32)[:, None, None] * 4.0
+    boxes = rng.uniform(0, 1000, (len(all_ids), 10, 4)).astype(np.float32)
+    lmdb_dir = os.path.join(root, "data/01_raw/lmdb_features")
+    os.makedirs(lmdb_dir, exist_ok=True)
+    write_feature_lmdb(os.path.join(lmdb_dir, "detectron.lmdb"), all_ids, feats, boxes)
+
+    vocab = build_test_vocab()
+    vocab_path = os.path.join(root, "vocab.txt")
+    with open(vocab_path, "w") as f:
+        for tok in sorted(vocab, key=vocab.get):
+            f.write(tok + "\n")
+
+    tiny = dict(
+        max_seq_length=16, max_regions=10, tokenizer_vocab=vocab_path,
+        hidden_size=32, num_attention_heads=2, num_hidden_layers=2,
+        intermediate_size=64, vocab_size=len(vocab),
+        v_hidden_size=32, v_num_attention_heads=2, v_num_hidden_layers=1,
+        v_intermediate_size=32, bi_hidden_size=32, bi_num_attention_heads=2,
+        co_attention_text_layers=[1], v_feature_size=128,
+        classifier_hidden_size=32, dtype="float32", use_pallas_attention=False,
+    )
+    # fabricated upstream-layout torch checkpoint (exercises the converter)
+    sd = fabricate_facebook_state_dict(tiny)
+    ckpt = os.path.join(root, "weights", "vilbert_cc.bin")
+    os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+    torch.save(sd, ckpt)
+
+    params = {
+        "data_processing": {"data_dir": "data/01_raw/hateful_memes",
+                            "use_dev_as_val": True, "random_seed": 42,
+                            "lowercase": True},
+        "training": {"batch_size": 16, "num_epochs": 6, "learning_rate": 1.0e-3,
+                     "warmup_steps": 4, "early_stopping_patience": 5,
+                     "loss_type": "ce", "mesh_shape": [-1, 1]},
+        "vilbert": {**tiny, "output_dir": "data/05_model_output"},
+        "vilbert_lmdb": {"lmdb_path": "data/01_raw/lmdb_features/detectron.lmdb",
+                         "output_dir": "data/05_model_output/lmdb",
+                         "pretrained_checkpoint": ckpt},
+        "training_lmdb": {"batch_size": 16},
+    }
+    os.makedirs(os.path.join(root, "conf/base"), exist_ok=True)
+    with open(os.path.join(root, "conf/base/parameters.yml"), "w") as f:
+        yaml.safe_dump(params, f)
+    return ckpt
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="lmdb_repro")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="offline: fabricated fixture end-to-end")
+    ap.add_argument("--band", nargs=2, type=float, default=None,
+                    help="override the AUROC gate [lo hi]")
+    args = ap.parse_args()
+    root = os.path.abspath(args.root)
+    os.makedirs(root, exist_ok=True)
+
+    if args.dry_run:
+        fabricate_project(root)
+        band = tuple(args.band) if args.band else (0.9, 1.0 + 1e-9)
+    else:
+        ckpt = download_all(root)
+        # wire the real checkpoint into the run via conf/local override
+        import yaml
+
+        os.makedirs(os.path.join(root, "conf/local"), exist_ok=True)
+        with open(os.path.join(root, "conf/local/parameters.yml"), "w") as f:
+            yaml.safe_dump({"vilbert_lmdb": {"pretrained_checkpoint": ckpt}}, f)
+        band = tuple(args.band) if args.band else AUROC_BAND
+
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    run([sys.executable, "-m", "multimodal_classification_tpu", "run",
+         "--pipeline=vilbert_lmdb_train", "--root", root], env=env, cwd=REPO)
+
+    metrics_path = os.path.join(root, "data/08_reporting/test_metrics.json")
+    with open(metrics_path) as f:
+        metrics = json.load(f)
+    auroc = metrics["auroc"]
+    lo, hi = band
+    ok = lo <= auroc <= hi
+    logger.info("test AUROC = %.4f, gate [%.3f, %.3f] → %s",
+                auroc, lo, hi, "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -89,3 +89,29 @@ def test_core_converter_full_merge():
     assert n == total, f"{n}/{total} merged"
     out = model.apply({"params": params}, **batch)
     assert np.all(np.isfinite(np.asarray(out["logits"])))
+
+
+def test_fabricated_facebook_state_dict_full_merge():
+    """fabricate_facebook_state_dict emits the exact upstream key layout:
+    every model leaf merges (used by scripts/reproduce_lmdb_auroc.py
+    --dry-run to exercise the converter offline)."""
+    from multimodal_classification_tpu.config import facebook_vilbert_config
+    from multimodal_classification_tpu.models.convert import (
+        convert_facebook_vilbert,
+        fabricate_facebook_state_dict,
+    )
+
+    kw = dict(hidden_size=32, num_attention_heads=2, num_hidden_layers=2,
+              intermediate_size=64, vocab_size=128, v_hidden_size=32,
+              v_num_attention_heads=2, v_num_hidden_layers=1,
+              v_intermediate_size=32, bi_hidden_size=32,
+              bi_num_attention_heads=2, co_attention_text_layers=[1],
+              v_feature_size=128, classifier_hidden_size=32, dtype="float32",
+              use_pallas_attention=False)
+    cfg = facebook_vilbert_config(**kw)
+    sd = fabricate_facebook_state_dict({**kw, "not_a_config_key": 1})
+    loaded = convert_facebook_vilbert(sd, cfg)
+    model = ViLBERTForClassification(cfg)
+    init = model.init(jax.random.key(0), **dummy_batch(cfg, 1, 8, 4))["params"]
+    merged, n, total = merge_params(init, loaded)
+    assert n == total and total > 50

@@ -189,6 +189,44 @@ def test_sharded_device_data_multichip_training():
     assert losses[-1] < losses[0]
 
 
+def test_trainer_fit_device_resident_multichip():
+    """Trainer.fit_device_resident with dp=8 on the CPU mesh: end-to-end
+    epochs (sharded data, shard-local gather, dp grads, sharded eval) learn
+    the injected label signal (VERDICT r1 #4: first-class Trainer path)."""
+    import tempfile
+
+    from multimodal_classification_tpu.parallel.mesh import build_mesh
+    from multimodal_classification_tpu.training.train import Trainer
+
+    cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False,
+                              v_feature_size=32)
+    model = ViLBERTForClassification(cfg)
+    # dataset with a label signal in the features
+    df = make_memes_df(64)
+    ids = df["id"].tolist()
+    feats, spatial = make_feature_arrays(ids, num_regions=6, dim=32)
+    labels = df["label"].to_numpy()
+    feats = feats + labels[:, None, None] * 3.0
+    store = DictFeatureStore(
+        {i: feats[k] for k, i in enumerate(ids)},
+        {i: spatial[k] for k, i in enumerate(ids)},
+    )
+    tok = WordPieceTokenizer(build_test_vocab())
+    ds = MemesDataset(df, tok, store, max_seq_length=12, max_regions=6, feature_dim=32)
+
+    mesh = build_mesh((8, 1))
+    tcfg = TrainingConfig(batch_size=16, num_epochs=4, learning_rate=1e-3,
+                          warmup_steps=2, mesh_shape=(8, 1))
+    ex = ExperimentConfig(name="t", model=cfg, training=tcfg, data=DataConfig())
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer = Trainer(model, ex, mesh=mesh, checkpoint_dir=tmp)
+        batch0 = {k: np.stack([ds.get(i)[k] for i in range(4)]) for k in ds.get(0)}
+        params = model.init(jax.random.key(0), **model_inputs(batch0))["params"]
+        state, history = trainer.fit_device_resident(ds, ds, params)
+    assert np.isfinite(history["train_loss"]).all()
+    assert history["val_auroc"][-1] > 0.9
+
+
 def test_sharded_epoch_indices_cover_local_shards():
     from multimodal_classification_tpu.data.device_cache import sharded_epoch_indices
 

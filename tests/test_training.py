@@ -194,6 +194,64 @@ class TestTrainer:
         assert history["val_auroc"][-1] > 0.8, history
         assert trainer.ckpt.exists("best")
 
+    def test_kill_and_resume_bit_identical(self, tmp_path):
+        """fit() for 2+2 epochs with resume=True reproduces the exact
+        trajectory of an uninterrupted 4-epoch run: full state (params, Adam
+        moments, LR-schedule step, best/patience) round-trips through the
+        'last' checkpoint (VERDICT r1 #6)."""
+        from multimodal_classification_tpu.models.vilbert import ViLBERTForClassification
+        from multimodal_classification_tpu.training.train import model_inputs
+
+        cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False)
+        model = ViLBERTForClassification(cfg)
+        train_b = _synthetic_batches(cfg, 4, 8, seed=0)
+        val_b = _synthetic_batches(cfg, 2, 8, seed=1)
+        params0 = jax.tree.map(
+            np.asarray,
+            model.init(jax.random.key(0), **model_inputs(train_b[0]))["params"],
+        )  # host copies — fit() donates its device state, callers keep theirs
+
+        class _Killed(Exception):
+            pass
+
+        def run(ckpt_dir, kill_at_epoch=None):
+            """One fit() invocation, optionally 'killed' mid-run (the data
+            callable raises when asked for epoch `kill_at_epoch`'s batches —
+            the 'last' checkpoint from the prior epoch is already on disk)."""
+            calls = {"n": 0}
+
+            def train_data():
+                calls["n"] += 1
+                if kill_at_epoch is not None and calls["n"] >= kill_at_epoch:
+                    raise _Killed()
+                return iter(train_b)
+
+            tcfg = TrainingConfig(
+                batch_size=8, num_epochs=4, learning_rate=5e-4,
+                warmup_steps=3, early_stopping_patience=50,
+                mesh_shape=(1, 1), checkpoint_dir=ckpt_dir,
+            )
+            ex = ExperimentConfig(name="r", model=cfg, training=tcfg,
+                                  data=DataConfig())
+            trainer = Trainer(model, ex, checkpoint_dir=ckpt_dir)
+            try:
+                _state, history = trainer.fit(
+                    train_data, lambda: iter(val_b),
+                    steps_per_epoch=len(train_b), init_params=params0,
+                    resume=True,
+                )
+            except _Killed:
+                history = trainer.history
+            return history
+
+        h_once = run(str(tmp_path / "a"))
+        run(str(tmp_path / "b"), kill_at_epoch=3)  # dies entering epoch 3
+        h_split = run(str(tmp_path / "b"))  # resumes from epoch-2 checkpoint
+        np.testing.assert_allclose(h_split["train_loss"], h_once["train_loss"],
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(h_split["val_auroc"], h_once["val_auroc"],
+                                   rtol=1e-6)
+
     def test_freeze_labels_partition(self):
         from multimodal_classification_tpu.models.vilbert import ViLBERTForClassification
         from multimodal_classification_tpu.training.train import freeze_labels, model_inputs
