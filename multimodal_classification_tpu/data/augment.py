@@ -22,6 +22,119 @@ import pandas as pd
 logger = logging.getLogger(__name__)
 
 
+def decode_caption_ids(ids, inv_vocab, eos_id: int, special) -> str:
+    """Greedy-decoded token ids → caption text (WordPiece join)."""
+    words: List[str] = []
+    for i in ids:
+        i = int(i)
+        if i == eos_id:
+            break
+        if i in special:
+            continue
+        words.append(inv_vocab.get(i, "[UNK]"))
+    out = ""
+    for t in words:
+        if t.startswith("##"):
+            out += t[2:]
+        else:
+            out += (" " if out else "") + t
+    return out
+
+
+class JaxImageCaptioner:
+    """TPU-native BLIP captioner (models/blip.py) — the reference's CES
+    captioner (augmentation.py:24-106) without torch in the loop.
+
+    ``checkpoint``: a local ``pytorch_model.bin`` of
+    Salesforce/blip-image-captioning-base (download is network-gated);
+    ``vocab_path``: the matching bert-base-uncased vocab.txt (+[DEC] row).
+    Without a checkpoint the captioner still runs (random weights) — only
+    useful for pipeline plumbing tests.
+    """
+
+    def __init__(self, checkpoint: Optional[str] = None,
+                 vocab_path: Optional[str] = None, seed: int = 0):
+        self.checkpoint = checkpoint
+        self.vocab_path = vocab_path
+        self.seed = seed
+        self._model = None
+        self._params = None
+        self._inv_vocab = None
+
+    def _load(self):
+        if self._model is not None:
+            return
+        import jax
+
+        from multimodal_classification_tpu.models.blip import (
+            BlipConfig,
+            BlipForCaptioning,
+            convert_hf_blip,
+        )
+
+        cfg = BlipConfig()
+        self._model = BlipForCaptioning(cfg)
+        if self.checkpoint:
+            from multimodal_classification_tpu.models.convert import (
+                load_torch_checkpoint,
+            )
+
+            sd = load_torch_checkpoint(self.checkpoint)
+            self._params = convert_hf_blip(sd, cfg)
+        else:
+            logger.warning("no BLIP checkpoint provided — random weights")
+            self._params = self._model.init_params(jax.random.key(self.seed))
+        if self.vocab_path and os.path.exists(self.vocab_path):
+            with open(self.vocab_path) as f:
+                vocab = {tok.rstrip("\n"): i for i, tok in enumerate(f)}
+            self._inv_vocab = {v: k for k, v in vocab.items()}
+        else:
+            self._inv_vocab = {}
+
+    def generate_captions(self, image_paths: List[str], batch_size: int = 8,
+                          max_length: int = 24) -> List[str]:
+        import numpy as np
+        from PIL import Image
+
+        from multimodal_classification_tpu.models.blip import (
+            BLIP_BOS,
+            BLIP_EOS,
+            BLIP_PAD,
+            preprocess_images,
+        )
+
+        self._load()
+        cfg = self._model.cfg
+        special = {BLIP_PAD, BLIP_BOS, cfg.bos_token_id, cfg.pad_token_id,
+                   101}  # [CLS]
+        captions: List[str] = []
+        for start in range(0, len(image_paths), batch_size):
+            paths = image_paths[start : start + batch_size]
+            arrs = []
+            for p in paths:
+                try:
+                    arrs.append(np.asarray(Image.open(p).convert("RGB")))
+                except Exception as e:
+                    logger.warning("failed to load %s: %s", p, e)
+                    arrs.append(np.zeros((cfg.image_size, cfg.image_size, 3),
+                                         np.uint8))
+            # pad the final batch to the compiled batch shape
+            n_real = len(arrs)
+            while len(arrs) < batch_size:
+                arrs.append(arrs[-1])
+            imgs = preprocess_images(
+                np.stack([np.asarray(Image.fromarray(a).resize(
+                    (cfg.image_size, cfg.image_size))) for a in arrs]),
+                cfg.image_size,
+            )
+            ids = np.asarray(self._model.generate_greedy(
+                self._params, imgs, max_length=max_length))
+            for row in ids[:n_real]:
+                captions.append(decode_caption_ids(
+                    row, self._inv_vocab, cfg.eos_token_id, special))
+        return captions
+
+
 class ImageCaptioner:
     """BLIP captioner (lazy-loaded; network-gated in offline environments)."""
 

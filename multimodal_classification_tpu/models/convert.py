@@ -337,10 +337,15 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(obj, dict) and "model_state_dict" in obj:
-        obj = obj["model_state_dict"]
-    if isinstance(obj, dict) and "state_dict" in obj and not any(
-        k.startswith("bert.") for k in obj
-    ):
-        obj = obj["state_dict"]
+    # unwrap the wrapper layouts seen in the wild (reference
+    # vilbert_hf.py:171-178 probes the same three)
+    for wrapper in ("model_state_dict", "state_dict", "model"):
+        if (
+            isinstance(obj, dict)
+            and wrapper in obj
+            and isinstance(obj[wrapper], dict)
+            and not any(k.startswith("bert.") for k in obj)
+        ):
+            obj = obj[wrapper]
+            break
     return {k: _np(v) for k, v in obj.items() if hasattr(v, "shape")}

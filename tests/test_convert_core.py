@@ -115,3 +115,18 @@ def test_fabricated_facebook_state_dict_full_merge():
     init = model.init(jax.random.key(0), **dummy_batch(cfg, 1, 8, 4))["params"]
     merged, n, total = merge_params(init, loaded)
     assert n == total and total > 50
+
+
+def test_core_converter_handles_all_wrapper_prefixes():
+    """The HF-hub checkpoint (visualjoyce/transformers4vl-vilbert) may carry
+    module./model./vilbert. wrappers (reference vilbert_hf.py:183-198
+    candidate-key loop) — all normalise to the same bare layout."""
+    import numpy as np
+
+    from multimodal_classification_tpu.models.convert import normalize_core_keys
+
+    base = {"bert.embeddings.word_embeddings.weight": np.ones((4, 2))}
+    for prefix in ("module.", "model.", "vilbert.", "module.vilbert."):
+        wrapped = {prefix + k: v for k, v in base.items()}
+        got = normalize_core_keys(wrapped)
+        assert set(got) == set(base), prefix
