@@ -78,6 +78,13 @@ class ViLBERTConfig:
     dtype: str = "bfloat16"
     # Use the fused Pallas attention path when on TPU
     use_pallas_attention: bool = True
+    # Dispatch the Pallas kernels in TRAINING steps too (in-kernel dropout +
+    # fused backward). Parity-tested and available, but measured 10.5% SLOWER
+    # than XLA at the flagship shapes on v5e (40.2 vs 35.9 ms/step, batch 16,
+    # 128+100 tokens: per-(batch,head) programs are too small to beat XLA's
+    # batched fusions, and the fused backward recomputes scores) — so off by
+    # default; eval/serving keeps the kernel win.
+    pallas_attention_training: bool = False
     # Rematerialise encoder layers to trade FLOPs for HBM
     remat: bool = False
 
@@ -159,9 +166,11 @@ class TrainingConfig:
     # dropout PRNG implementation: "rbg" is ~1.4× faster end-to-end on TPU
     # than threefry at this model scale (hardware RNG vs software hashing)
     rng_impl: str = "rbg"
-    # Adam first-moment dtype: bf16 halves the HBM-bound optimizer pass's mu
-    # traffic (second moment stays fp32); set "float32" for exact torch parity
+    # Adam moment dtypes: bf16 halves the HBM-bound optimizer pass's traffic
+    # per moment (accumulation stays fp32 — training/optimizers.py); set
+    # "float32" for exact torch parity
     adam_mu_dtype: str = "bfloat16"
+    adam_nu_dtype: str = "float32"
     # TPU-native additions (no reference counterpart — see SURVEY.md §2.7):
     # data-parallel × model-parallel mesh, remat, grad accumulation.
     mesh_shape: Tuple[int, ...] = (-1, 1)  # (dp, mp); -1 = all remaining devices
@@ -191,6 +200,11 @@ class DataConfig:
     # device (precomputed-feature pipelines, single-chip dp; see
     # data/device_cache.py) instead of streaming batches from the host
     device_resident: bool = False
+    # slice the text axis to the dataset's real max token length rounded up
+    # to a multiple of 32 (0 = off). Attention over padded keys is masked, so
+    # this computes the identical function while skipping the padding FLOPs
+    # the reference always spends (max_seq_length is a CAP, not a width).
+    text_bucket_multiple: int = 32
     # dtype of dense float fields on the host→device link ("bfloat16" halves
     # transfer bytes; matches the model's compute dtype)
     wire_dtype: str = "bfloat16"

@@ -49,22 +49,39 @@ class DeviceData:
     def num_examples(self) -> int:
         return self.input_ids.shape[0]
 
-    def gather(self, indices: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        """Batch by index — runs on device inside the jitted step."""
+    def gather(self, indices: jnp.ndarray,
+               seq_bucket: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+        """Batch by index — runs on device inside the jitted step.
+
+        ``seq_bucket`` (static) slices the text axis to the dataset's real
+        max token length rounded up to a bucket: attention over padded keys
+        is −1e9-masked, so outputs for real tokens are bit-for-bit the same
+        function — the framework just stops spending MXU cycles on padding
+        the reference always computes (its max_seq_length=128 is a cap; meme
+        texts are ~12-25 tokens)."""
         feats = jnp.take(self.visual_features, indices, axis=0)
         if self.feature_scales is not None:
             scales = jnp.take(self.feature_scales, indices, axis=0)
             feats = feats.astype(jnp.bfloat16) * scales[..., None].astype(jnp.bfloat16)
+        s = slice(None, seq_bucket)
         batch = {
-            "input_ids": jnp.take(self.input_ids, indices, axis=0),
-            "attention_mask": jnp.take(self.attention_mask, indices, axis=0),
-            "token_type_ids": jnp.take(self.token_type_ids, indices, axis=0),
+            "input_ids": jnp.take(self.input_ids, indices, axis=0)[:, s],
+            "attention_mask": jnp.take(self.attention_mask, indices, axis=0)[:, s],
+            "token_type_ids": jnp.take(self.token_type_ids, indices, axis=0)[:, s],
             "visual_features": feats,
             "visual_attention_mask": jnp.take(self.visual_attention_mask, indices, axis=0),
             "spatial_locations": jnp.take(self.spatial_locations, indices, axis=0),
             "labels": jnp.take(self.labels, indices, axis=0),
         }
         return batch
+
+    def seq_bucket(self, multiple: int = 32) -> int:
+        """Smallest multiple of ``multiple`` covering the longest real text
+        (computed host-side once per dataset)."""
+        lengths = jnp.sum(self.attention_mask.astype(jnp.int32), axis=-1)
+        max_len = int(jax.device_get(jnp.max(lengths)))
+        cap = self.input_ids.shape[1]
+        return min(max(-(-max_len // multiple) * multiple, multiple), cap)
 
 
 def build_device_data(
@@ -135,11 +152,11 @@ def epoch_indices(
         yield chunk.astype(np.int32)
 
 
-def make_device_train_step(model, loss_fn, tx):
+def make_device_train_step(model, loss_fn, tx, seq_bucket: Optional[int] = None):
     """Jitted train step over device-resident data: (state, data, indices, rng).
 
     The gather happens inside the compiled program — batch bytes never cross
-    the host link.
+    the host link. ``seq_bucket``: see DeviceData.gather.
     """
     from multimodal_classification_tpu.training.train import TrainState, model_inputs
 
@@ -147,7 +164,7 @@ def make_device_train_step(model, loss_fn, tx):
 
     def step(state: "TrainState", data: DeviceData, indices: jnp.ndarray, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
-        batch = data.gather(indices)
+        batch = data.gather(indices, seq_bucket)
 
         def loss_of(params):
             out = model.apply(
@@ -166,7 +183,8 @@ def make_device_train_step(model, loss_fn, tx):
     return step
 
 
-def make_device_multi_step(model, loss_fn, tx, unroll: int = 1):
+def make_device_multi_step(model, loss_fn, tx, unroll: int = 1,
+                           seq_bucket: Optional[int] = None):
     """K training steps per dispatch via lax.scan over an index matrix
     [K, B] — amortises host dispatch latency and lets XLA pipeline step
     boundaries. The whole epoch can be one compiled call."""
@@ -176,7 +194,7 @@ def make_device_multi_step(model, loss_fn, tx, unroll: int = 1):
 
     def one(state: "TrainState", data: DeviceData, indices: jnp.ndarray, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
-        batch = data.gather(indices)
+        batch = data.gather(indices, seq_bucket)
 
         def loss_of(params):
             out = model.apply(
@@ -203,11 +221,11 @@ def make_device_multi_step(model, loss_fn, tx, unroll: int = 1):
     return multi
 
 
-def make_device_eval_step(model):
+def make_device_eval_step(model, seq_bucket: Optional[int] = None):
     from multimodal_classification_tpu.training.train import model_inputs
 
     def eval_step(params, data: DeviceData, indices: jnp.ndarray):
-        batch = data.gather(indices)
+        batch = data.gather(indices, seq_bucket)
         out = model.apply({"params": params}, **model_inputs(batch), deterministic=True)
         return out["logits"].astype(jnp.float32)
 
@@ -281,7 +299,8 @@ def _make_local_gather(mesh):
     return local_gather
 
 
-def _gathered_batch(local_gather, data: DeviceData, local_indices):
+def _gathered_batch(local_gather, data: DeviceData, local_indices,
+                    seq_bucket=None):
     batch_data = local_gather(data, local_indices)
     batch = {f.name: getattr(batch_data, f.name)
              for f in dataclasses.fields(DeviceData)}
@@ -291,10 +310,14 @@ def _gathered_batch(local_gather, data: DeviceData, local_indices):
             batch["visual_features"].astype(jnp.bfloat16)
             * scales[..., None].astype(jnp.bfloat16)
         )
+    if seq_bucket is not None:  # see DeviceData.gather
+        for k in ("input_ids", "attention_mask", "token_type_ids"):
+            batch[k] = batch[k][:, :seq_bucket]
     return batch
 
 
-def make_sharded_device_train_step(model, loss_fn, tx, mesh):
+def make_sharded_device_train_step(model, loss_fn, tx, mesh,
+                                   seq_bucket=None):
     """Multi-chip device-resident train step: each device gathers its batch
     slice from its local dataset shard (shard_map — no data collectives on
     the input path), then the usual dp training step; gradient all-reduce is
@@ -307,7 +330,7 @@ def make_sharded_device_train_step(model, loss_fn, tx, mesh):
 
     def step(state: "TrainState", data: DeviceData, local_indices, rng):
         rng = jax.random.fold_in(rng, state.step)
-        batch = _gathered_batch(local_gather, data, local_indices)
+        batch = _gathered_batch(local_gather, data, local_indices, seq_bucket)
 
         def loss_of(params):
             out = model.apply(
@@ -324,7 +347,7 @@ def make_sharded_device_train_step(model, loss_fn, tx, mesh):
     return step
 
 
-def make_sharded_device_eval_step(model, mesh):
+def make_sharded_device_eval_step(model, mesh, seq_bucket=None):
     """Multi-chip device-resident eval: shard-local gather → forward →
     fp32 logits (globally [B, C], dp-sharded on the batch axis)."""
     from multimodal_classification_tpu.training.train import model_inputs
@@ -332,7 +355,7 @@ def make_sharded_device_eval_step(model, mesh):
     local_gather = _make_local_gather(mesh)
 
     def eval_step(params, data: DeviceData, local_indices):
-        batch = _gathered_batch(local_gather, data, local_indices)
+        batch = _gathered_batch(local_gather, data, local_indices, seq_bucket)
         out = model.apply({"params": params}, **model_inputs(batch),
                           deterministic=True)
         return out["logits"].astype(jnp.float32)

@@ -82,7 +82,8 @@ class BiAttentionBlock(nn.Module):
             split_heads(q2, heads), (split_heads(k1, heads), split_heads(v1, heads)),
             t_bias, v_bias,
             dropout_rate=rate, dropout_rngs=rngs,
-            impl="auto" if cfg.use_pallas_attention else "xla",
+            impl="auto" if cfg.use_pallas_attention
+            and (deterministic or cfg.pallas_attention_training) else "xla",
         )
         v_ctx = merge_heads(v_ctx)
         t_ctx = merge_heads(t_ctx)
@@ -157,7 +158,12 @@ class ViLBERTEncoder(nn.Module):
     def __call__(self, t_hidden, v_hidden, t_bias, v_bias, deterministic: bool):
         cfg = self.cfg
         co_sites = set(cfg.co_attention_text_layers)
-        impl = "auto" if cfg.use_pallas_attention else "xla"
+        # training defaults to XLA (measured faster at these shapes — see
+        # config.pallas_attention_training); eval gets the fused kernels
+        use_pallas = cfg.use_pallas_attention and (
+            deterministic or cfg.pallas_attention_training
+        )
+        impl = "auto" if use_pallas else "xla"
 
         text_layer = TransformerLayer
         visual_layer = TransformerLayer

@@ -1,0 +1,100 @@
+"""Mixed-precision AdamW.
+
+The reference uses stock fp32 torch AdamW (nodes.py:757). On TPU the
+optimizer update over ~250M params is HBM-bandwidth-bound (~6 GB of moment/
+param traffic per step at fp32 — measured round 1: 5-10 ms of the 36 ms
+step). optax's ``adamw`` only lets the FIRST moment be stored low-precision
+(``mu_dtype``); this variant adds ``nu_dtype`` for the second moment, halving
+its read+write traffic too.
+
+Numerics: nu is accumulated in fp32 (cast down only for storage), and
+``sqrt(nu)+eps`` sees a ≤0.4% relative error from bf16 storage — an LR jitter
+far below batch noise. Both dtypes default to fp32; the flagship config opts
+mu and nu into bf16.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class ScaleByAdamMixedState(NamedTuple):
+    count: chex.Array  # int32 scalar
+    mu: Any
+    nu: Any
+
+
+def scale_by_adam_mixed(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    mu_dtype: Optional[jnp.dtype] = None,
+    nu_dtype: Optional[jnp.dtype] = None,
+) -> optax.GradientTransformation:
+    """optax ``scale_by_adam`` with independently storable mu AND nu dtypes.
+
+    Matches optax's update math exactly (bias-corrected moments, eps outside
+    the sqrt) when both dtypes are None.
+    """
+    mu_dtype = jnp.dtype(mu_dtype) if mu_dtype is not None else None
+    nu_dtype = jnp.dtype(nu_dtype) if nu_dtype is not None else None
+
+    def init_fn(params):
+        mu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params
+        )
+        nu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dtype or p.dtype), params
+        )
+        return ScaleByAdamMixedState(jnp.zeros([], jnp.int32), mu, nu)
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+
+        def upd(g, m, v):
+            g32 = g.astype(jnp.float32)
+            m32 = m.astype(jnp.float32) * b1 + g32 * (1.0 - b1)
+            v32 = v.astype(jnp.float32) * b2 + (g32 * g32) * (1.0 - b2)
+            out = (m32 / bc1) / (jnp.sqrt(v32 / bc2) + eps)
+            return out.astype(g.dtype), m32, v32
+
+        flat_u, treedef = jax.tree.flatten(updates)
+        flat_m = treedef.flatten_up_to(state.mu)
+        flat_v = treedef.flatten_up_to(state.nu)
+        outs = [upd(g, m, v) for g, m, v in zip(flat_u, flat_m, flat_v)]
+        new_updates = treedef.unflatten([o[0] for o in outs])
+        new_mu = treedef.unflatten(
+            [o[1].astype(mu_dtype or m.dtype) for o, m in zip(outs, flat_m)]
+        )
+        new_nu = treedef.unflatten(
+            [o[2].astype(nu_dtype or v.dtype) for o, v in zip(outs, flat_v)]
+        )
+        return new_updates, ScaleByAdamMixedState(count, new_mu, new_nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adamw_mixed(
+    learning_rate,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.01,
+    mu_dtype: Optional[jnp.dtype] = None,
+    nu_dtype: Optional[jnp.dtype] = None,
+) -> optax.GradientTransformation:
+    """AdamW (decoupled weight decay) with mixed-precision moment storage."""
+    return optax.chain(
+        scale_by_adam_mixed(b1, b2, eps, mu_dtype, nu_dtype),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(learning_rate),
+    )

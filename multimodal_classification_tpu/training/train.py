@@ -80,11 +80,14 @@ def make_optimizer(
     schedule = warmup_linear_schedule(
         tcfg.learning_rate, tcfg.warmup_steps, total_steps, tcfg.use_linear_decay
     )
+    from multimodal_classification_tpu.training.optimizers import adamw_mixed
+
     tx = optax.chain(
         optax.clip_by_global_norm(tcfg.gradient_clip) if tcfg.gradient_clip > 0 else optax.identity(),
-        optax.adamw(
+        adamw_mixed(
             schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=tcfg.weight_decay,
             mu_dtype=jnp.dtype(tcfg.adam_mu_dtype),
+            nu_dtype=jnp.dtype(getattr(tcfg, "adam_nu_dtype", "float32")),
         ),
     )
     if freeze_bert_layers > 0:
@@ -399,6 +402,17 @@ class Trainer:
             train_data = build_device_data(train_ds, feature_dtype=dtype)
             val_data = build_device_data(val_ds, feature_dtype=dtype)
 
+        # text-length bucket: identical function (masked padding), fewer FLOPs
+        bucket = None
+        mult = getattr(self.cfg.data, "text_bucket_multiple", 0)
+        if mult:
+            bucket = max(train_data.seq_bucket(mult), val_data.seq_bucket(mult))
+            if bucket >= train_data.input_ids.shape[1]:
+                bucket = None
+            else:
+                logger.info("text bucket: %d of %d tokens", bucket,
+                            train_data.input_ids.shape[1])
+
         steps_per_epoch = max(train_data.num_examples // tcfg.batch_size, 1)
         total_steps = steps_per_epoch * tcfg.num_epochs
         tx = make_optimizer(tcfg, total_steps, init_params, self.cfg.freeze_bert_layers)
@@ -411,15 +425,20 @@ class Trainer:
             init_params = jax.tree.map(lambda x: jax.device_put(x, rep), init_params)
             opt_state = jax.jit(tx.init, out_shardings=rep)(init_params)
             step = jax.jit(
-                make_sharded_device_train_step(self.model, self.loss_fn, tx, self.mesh),
+                make_sharded_device_train_step(self.model, self.loss_fn, tx,
+                                               self.mesh, seq_bucket=bucket),
                 donate_argnums=0,
             )
-            eval_step = jax.jit(make_sharded_device_eval_step(self.model, self.mesh))
+            eval_step = jax.jit(
+                make_sharded_device_eval_step(self.model, self.mesh, seq_bucket=bucket)
+            )
         else:
             opt_state = tx.init(init_params)
-            step = jax.jit(make_device_train_step(self.model, self.loss_fn, tx),
-                           donate_argnums=0)
-            eval_step = jax.jit(make_device_eval_step(self.model))
+            step = jax.jit(
+                make_device_train_step(self.model, self.loss_fn, tx, seq_bucket=bucket),
+                donate_argnums=0,
+            )
+            eval_step = jax.jit(make_device_eval_step(self.model, seq_bucket=bucket))
         state = TrainState(jnp.zeros((), jnp.int32), init_params, opt_state)
         rng = jax.random.key(seed, impl=tcfg.rng_impl)
 

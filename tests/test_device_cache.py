@@ -244,3 +244,60 @@ def test_epoch_indices_deterministic_and_complete():
     assert not all((x == y).all() for x, y in zip(a, c))
     covered = np.concatenate(list(epoch_indices(50, 8, 0, drop_last=False)))
     assert set(covered.tolist()) == set(range(50))
+
+
+def test_seq_bucket_eval_is_exact():
+    """Bucketed text (sliced to the real max length) produces IDENTICAL eval
+    logits — masked attention makes the padding computation a no-op, so
+    bucketing is a pure-FLOPs win, not an approximation."""
+    cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False,
+                              v_feature_size=32)
+    model = ViLBERTForClassification(cfg)
+    df = make_memes_df(8)
+    ids = df["id"].tolist()
+    feats, spatial = make_feature_arrays(ids, num_regions=6, dim=32)
+    store = DictFeatureStore(
+        {i: feats[k] for k, i in enumerate(ids)},
+        {i: spatial[k] for k, i in enumerate(ids)},
+    )
+    ds = MemesDataset(df, WordPieceTokenizer(build_test_vocab()), store,
+                      max_seq_length=24, max_regions=6, feature_dim=32)
+    data = build_device_data(ds, feature_dtype=jnp.float32)
+    bucket = data.seq_bucket(4)
+    assert bucket < data.input_ids.shape[1]
+
+    batch0 = {k: np.stack([ds.get(i)[k] for i in range(4)]) for k in ds.get(0)}
+    params = model.init(jax.random.key(0), **model_inputs(batch0))["params"]
+    idx = jnp.arange(8, dtype=jnp.int32)
+    full = jax.jit(make_device_eval_step(model))(params, data, idx)
+    bucketed = jax.jit(make_device_eval_step(model, seq_bucket=bucket))(
+        params, data, idx)
+    np.testing.assert_allclose(np.asarray(bucketed), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_seq_bucket_train_step_runs_and_learns():
+    import optax
+
+    cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False,
+                              v_feature_size=32)
+    model = ViLBERTForClassification(cfg)
+    ds = _dataset(16)
+    data = build_device_data(ds, feature_dtype=jnp.float32)
+    bucket = data.seq_bucket(4)
+    from multimodal_classification_tpu.training.train import TrainState
+
+    loss_fn = get_loss_function("ce")
+    tx = optax.adamw(1e-3)
+    batch0 = {k: np.stack([ds.get(i)[k] for i in range(4)]) for k in ds.get(0)}
+    params = model.init(jax.random.key(0), **model_inputs(batch0))["params"]
+    state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    step = jax.jit(make_device_train_step(model, loss_fn, tx, seq_bucket=bucket),
+                   donate_argnums=0)
+    rng = jax.random.key(1, impl="rbg")
+    losses = []
+    for e in range(4):
+        for idx in epoch_indices(16, 8, e, seed=0):
+            state, m = step(state, data, jnp.asarray(idx), rng)
+            losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]

@@ -287,3 +287,49 @@ class TestTrainer:
         assert enc["c_layer_0"]["query1"]["kernel"].spec == jax.sharding.PartitionSpec(None, "mp")
         # LayerNorm replicated
         assert enc["layer_0"]["output"]["LayerNorm"]["scale"].spec == jax.sharding.PartitionSpec()
+
+
+class TestMixedAdam:
+    def test_fp32_matches_optax_adamw(self, rng):
+        import optax
+
+        from multimodal_classification_tpu.training.optimizers import adamw_mixed
+
+        params = {"a": jnp.asarray(rng.standard_normal((32, 16)), jnp.float32),
+                  "b": jnp.asarray(rng.standard_normal(16), jnp.float32)}
+        grads = jax.tree.map(lambda p: jnp.asarray(
+            np.random.default_rng(1).standard_normal(p.shape), jnp.float32), params)
+        ours = adamw_mixed(1e-3, weight_decay=0.01)
+        ref = optax.adamw(1e-3, weight_decay=0.01)
+        so, sr = ours.init(params), ref.init(params)
+        p_o, p_r = params, params
+        for _ in range(5):
+            uo, so = ours.update(grads, so, p_o)
+            ur, sr = ref.update(grads, sr, p_r)
+            p_o = optax.apply_updates(p_o, uo)
+            p_r = optax.apply_updates(p_r, ur)
+        for k in params:
+            np.testing.assert_allclose(np.asarray(p_o[k]), np.asarray(p_r[k]),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_bf16_moments_close_to_fp32(self, rng):
+        import optax
+
+        from multimodal_classification_tpu.training.optimizers import adamw_mixed
+
+        params = {"w": jnp.asarray(rng.standard_normal((64, 64)), jnp.float32)}
+        grads = {"w": jnp.asarray(
+            np.random.default_rng(2).standard_normal((64, 64)) * 0.1, jnp.float32)}
+        lo = adamw_mixed(1e-3, mu_dtype=jnp.bfloat16, nu_dtype=jnp.bfloat16)
+        hi = adamw_mixed(1e-3)
+        sl, sh = lo.init(params), hi.init(params)
+        assert sl[0].mu["w"].dtype == jnp.bfloat16
+        assert sl[0].nu["w"].dtype == jnp.bfloat16
+        pl_, ph = params, params
+        for _ in range(10):
+            ul, sl = lo.update(grads, sl, pl_)
+            uh, sh = hi.update(grads, sh, ph)
+            pl_ = optax.apply_updates(pl_, ul)
+            ph = optax.apply_updates(ph, uh)
+        np.testing.assert_allclose(np.asarray(pl_["w"]), np.asarray(ph["w"]),
+                                   rtol=2e-2, atol=2e-4)
