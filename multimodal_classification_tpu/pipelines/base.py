@@ -241,6 +241,7 @@ def run_training_pipeline(
                 ds, ex.training.batch_size, shuffle=(name == "train"),
                 seed=ex.training.seed, prefetch=ex.data.prefetch_depth,
                 wire_dtype=ex.data.wire_dtype if ex.model.dtype == "bfloat16" else None,
+                text_bucket_multiple=getattr(ex.data, "text_bucket_multiple", 0),
             )
             for name, ds in datasets.items()
         }
