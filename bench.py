@@ -145,7 +145,11 @@ def main() -> int:
     # K steps per dispatch: lax.scan over an index matrix (amortises host
     # dispatch latency; the whole epoch is one compiled call)
     K = 10
-    step = jax.jit(make_device_multi_step(model, loss_fn, tx, seq_bucket=bucket),
+    # grads dtype: env-overridable for A/B measurement (bf16 measured SLOWER
+    # here — see CLAUDE.md perf dead ends; the cast doesn't fuse into bwd)
+    grads_dtype = os.environ.get("BENCH_GRADS_DTYPE", "float32")
+    step = jax.jit(make_device_multi_step(model, loss_fn, tx, seq_bucket=bucket,
+                                          grads_dtype=grads_dtype),
                    donate_argnums=0)
     rng_key = jax.random.key(1, impl="rbg")
 

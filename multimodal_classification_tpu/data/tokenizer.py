@@ -187,17 +187,30 @@ def build_test_vocab(extra_words: Optional[List[str]] = None) -> Dict[str, int]:
 
 
 def load_tokenizer(
-    vocab_path: Optional[str] = None, lowercase: bool = True
+    vocab_path: Optional[str] = None, lowercase: bool = True, native: bool = True
 ) -> WordPieceTokenizer:
     """Load from an explicit vocab.txt, a cached HF bert-base-uncased vocab if
-    present, or fail with a clear message."""
+    present, or fail with a clear message. ``native=True`` (default) uses the
+    C++ batch-encoding kernel when it builds (data/tokenizer_native.py) —
+    observably identical output, ~50× faster on the 1-core host."""
+
+    def _make(path: str):
+        py = WordPieceTokenizer.from_vocab_file(path, lowercase)
+        if native:
+            from multimodal_classification_tpu.data.tokenizer_native import (
+                native_or_python_tokenizer,
+            )
+
+            return native_or_python_tokenizer(py.vocab, lowercase)
+        return py
+
     if vocab_path and os.path.exists(vocab_path):
-        return WordPieceTokenizer.from_vocab_file(vocab_path, lowercase)
+        return _make(vocab_path)
     # look through the HF cache for a bert vocab.txt
     cache = os.path.expanduser(os.environ.get("HF_HOME", "~/.cache/huggingface"))
     for root, _dirs, files in os.walk(cache) if os.path.isdir(cache) else []:
         if "vocab.txt" in files and "bert-base-uncased" in root:
-            return WordPieceTokenizer.from_vocab_file(os.path.join(root, "vocab.txt"), lowercase)
+            return _make(os.path.join(root, "vocab.txt"))
     raise FileNotFoundError(
         "No tokenizer vocab found: pass DataConfig.tokenizer_vocab=<path to "
         "bert vocab.txt> (offline environment; HF download unavailable)"

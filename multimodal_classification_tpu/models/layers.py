@@ -52,6 +52,9 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, bias, deterministic: bool):
+        # NOTE: concatenating q/k/v into one fused matmul was measured SLOWER
+        # end-to-end on v5e (22.0 → 22.8 ms/step) — XLA already schedules the
+        # three matmuls well and the weight concat adds per-step traffic.
         q = make_dense(self.hidden_size, self.dtype, "query")(hidden)
         k = make_dense(self.hidden_size, self.dtype, "key")(hidden)
         v = make_dense(self.hidden_size, self.dtype, "value")(hidden)

@@ -64,8 +64,11 @@ def scale_by_adam_mixed(
             g32 = g.astype(jnp.float32)
             m32 = m.astype(jnp.float32) * b1 + g32 * (1.0 - b1)
             v32 = v.astype(jnp.float32) * b2 + (g32 * g32) * (1.0 - b2)
+            # updates stay fp32 even when grads arrive in bf16: the update
+            # chain (wd, lr-scale, param add) is a fused elementwise pass, so
+            # fp32 here costs no HBM traffic but avoids a second rounding
             out = (m32 / bc1) / (jnp.sqrt(v32 / bc2) + eps)
-            return out.astype(g.dtype), m32, v32
+            return out, m32, v32
 
         flat_u, treedef = jax.tree.flatten(updates)
         flat_m = treedef.flatten_up_to(state.mu)

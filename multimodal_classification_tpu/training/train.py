@@ -95,6 +95,11 @@ def make_optimizer(
         labels = freeze_labels(params, freeze_bert_layers)
         tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
     if tcfg.grad_accum_steps > 1:
+        if jnp.dtype(getattr(tcfg, "grads_dtype", "float32")) != jnp.float32:
+            raise ValueError(
+                "grad_accum_steps>1 with low-precision grads_dtype would "
+                "accumulate in bf16; set grads_dtype='float32'"
+            )
         tx = optax.MultiSteps(tx, every_k_schedule=tcfg.grad_accum_steps)
     return tx
 
@@ -130,7 +135,17 @@ def _accepts_epoch(fn: Callable) -> bool:
     ]) >= 1
 
 
-def make_train_step(model, loss_fn, tx) -> Callable:
+def cast_grads(grads, dtype: Optional[str]):
+    """Optionally store gradients low-precision (config.grads_dtype): the cast
+    fuses into the backward's final ops, so grad buffers materialise in HBM at
+    half width — saving the bwd write + global-norm read + Adam read."""
+    if not dtype or jnp.dtype(dtype) == jnp.float32:
+        return grads
+    d = jnp.dtype(dtype)
+    return jax.tree.map(lambda g: g.astype(d), grads)
+
+
+def make_train_step(model, loss_fn, tx, grads_dtype: Optional[str] = None) -> Callable:
     def train_step(state: TrainState, batch: Mapping[str, jnp.ndarray], rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
 
@@ -144,6 +159,7 @@ def make_train_step(model, loss_fn, tx) -> Callable:
             return loss_fn(out["logits"], batch["labels"], batch.get("weights")), out["logits"]
 
         (loss, logits), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        grads = cast_grads(grads, grads_dtype)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(state.step + 1, params, opt_state)
@@ -213,7 +229,11 @@ class Trainer:
         params = jax.tree.map(jax.device_put, params, sh)
         opt_state = jax.jit(tx.init, out_shardings=None)(params)
         state = TrainState(jnp.zeros((), jnp.int32), params, opt_state)
-        train_step = jax.jit(make_train_step(self.model, self.loss_fn, tx), donate_argnums=0)
+        train_step = jax.jit(
+            make_train_step(self.model, self.loss_fn, tx,
+                            grads_dtype=self.tcfg.grads_dtype),
+            donate_argnums=0,
+        )
         eval_step = jax.jit(make_eval_step(self.model))
         return state, train_step, eval_step
 
@@ -426,7 +446,8 @@ class Trainer:
             opt_state = jax.jit(tx.init, out_shardings=rep)(init_params)
             step = jax.jit(
                 make_sharded_device_train_step(self.model, self.loss_fn, tx,
-                                               self.mesh, seq_bucket=bucket),
+                                               self.mesh, seq_bucket=bucket,
+                                               grads_dtype=tcfg.grads_dtype),
                 donate_argnums=0,
             )
             eval_step = jax.jit(
@@ -435,7 +456,8 @@ class Trainer:
         else:
             opt_state = tx.init(init_params)
             step = jax.jit(
-                make_device_train_step(self.model, self.loss_fn, tx, seq_bucket=bucket),
+                make_device_train_step(self.model, self.loss_fn, tx, seq_bucket=bucket,
+                                       grads_dtype=tcfg.grads_dtype),
                 donate_argnums=0,
             )
             eval_step = jax.jit(make_device_eval_step(self.model, seq_bucket=bucket))

@@ -183,3 +183,86 @@ class TestBatchLoader:
         with pytest.raises(RuntimeError, match="boom"):
             list(loader)
         dataset.get = orig
+
+
+class TestNativeTokenizer:
+    """C++ WordPiece kernel (native/wordpiece_tokenizer.cc) must be
+    observably identical to the Python tokenizer on all inputs."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from multimodal_classification_tpu.data.tokenizer_native import (
+            NativeWordPieceTokenizer,
+            build_native_tokenizer,
+        )
+
+        if build_native_tokenizer() is None:
+            pytest.skip("no C++ toolchain")
+        vocab = build_test_vocab()
+        return NativeWordPieceTokenizer(vocab), WordPieceTokenizer(vocab)
+
+    CASES = [
+        "the meme is hateful",
+        "Hate, People!  LOVED??",
+        "",
+        "   \t\n  ",
+        "a" * 150 + " short",          # >max_chars_per_word → UNK
+        "x" * 99,                       # greedy multi-piece
+        "don't stop; it's a meme...",
+        "meme " * 100,                  # truncation
+        "café naïve résumé",  # non-ASCII → python fallback
+        "emoji \U0001f600 mixed ascii",
+        "\x00\x01control\x02chars\x7f",
+        "tab\tsep\nnewline\rreturn",
+    ]
+
+    @pytest.mark.parametrize("max_length", [8, 32, 128])
+    def test_encode_batch_parity(self, pair, max_length):
+        native, py = pair
+        n_ids, n_mask, n_typ = native.encode_batch(self.CASES, max_length)
+        p_ids, p_mask, p_typ = py.encode_batch(self.CASES, max_length)
+        np.testing.assert_array_equal(n_ids, p_ids)
+        np.testing.assert_array_equal(n_mask, p_mask)
+        np.testing.assert_array_equal(n_typ, p_typ)
+
+    def test_encode_parity_fuzz(self, pair):
+        native, py = pair
+        rng = np.random.default_rng(0)
+        alphabet = list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                        "0123456789 .,!?';:#@$%^&*()[]{}-_=+\t")
+        texts = [
+            "".join(rng.choice(alphabet, rng.integers(0, 60)))
+            for _ in range(200)
+        ]
+        n_ids, n_mask, _ = native.encode_batch(texts, 48)
+        p_ids, p_mask, _ = py.encode_batch(texts, 48)
+        np.testing.assert_array_equal(n_ids, p_ids)
+        np.testing.assert_array_equal(n_mask, p_mask)
+
+    def test_single_encode_and_attrs(self, pair):
+        native, py = pair
+        assert (native.cls_id, native.sep_id, native.pad_id, native.unk_id) == (
+            py.cls_id, py.sep_id, py.pad_id, py.unk_id)
+        i1, m1, t1 = native.encode("people hates memes!", 16)
+        i2, m2, t2 = py.encode("people hates memes!", 16)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(m1, m2)
+
+    def test_load_tokenizer_returns_native(self, tmp_path):
+        from multimodal_classification_tpu.data.tokenizer import load_tokenizer
+        from multimodal_classification_tpu.data.tokenizer_native import (
+            NativeWordPieceTokenizer,
+            build_native_tokenizer,
+        )
+
+        vocab = build_test_vocab()
+        path = tmp_path / "vocab.txt"
+        inv = {i: t for t, i in vocab.items()}
+        path.write_text(
+            "\n".join(inv.get(i, f"[unused{i}]") for i in range(max(inv) + 1)) + "\n"
+        )
+        tok = load_tokenizer(str(path))
+        if build_native_tokenizer() is not None:
+            assert isinstance(tok, NativeWordPieceTokenizer)
+        ids, mask, _ = tok.encode("the meme", 8)
+        assert ids[0] == tok.cls_id and int(mask.sum()) == 4

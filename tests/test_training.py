@@ -333,3 +333,47 @@ class TestMixedAdam:
             ph = optax.apply_updates(ph, uh)
         np.testing.assert_allclose(np.asarray(pl_["w"]), np.asarray(ph["w"]),
                                    rtol=2e-2, atol=2e-4)
+
+
+class TestGradsDtype:
+    """config.grads_dtype: bf16 gradient storage (training/train.py
+    cast_grads) must stay close to fp32 grads and refuse to combine with
+    gradient accumulation."""
+
+    def test_bf16_grads_trajectory_close_to_fp32(self, rng):
+        import optax
+
+        from multimodal_classification_tpu.training.optimizers import adamw_mixed
+        from multimodal_classification_tpu.training.train import cast_grads
+
+        params = {"w": jnp.asarray(rng.standard_normal((64, 64)), jnp.float32)}
+        tx = adamw_mixed(1e-3)
+        s_lo, s_hi = tx.init(params), tx.init(params)
+        p_lo, p_hi = params, params
+        for i in range(10):
+            grads = {"w": jnp.asarray(
+                np.random.default_rng(i).standard_normal((64, 64)) * 0.1,
+                jnp.float32)}
+            g_lo = cast_grads(grads, "bfloat16")
+            assert g_lo["w"].dtype == jnp.bfloat16
+            ul, s_lo = tx.update(g_lo, s_lo, p_lo)
+            assert ul["w"].dtype == jnp.float32  # updates stay fp32
+            uh, s_hi = tx.update(grads, s_hi, p_hi)
+            p_lo = optax.apply_updates(p_lo, ul)
+            p_hi = optax.apply_updates(p_hi, uh)
+        np.testing.assert_allclose(np.asarray(p_lo["w"]), np.asarray(p_hi["w"]),
+                                   rtol=2e-2, atol=2e-4)
+
+    def test_cast_grads_fp32_is_identity(self):
+        from multimodal_classification_tpu.training.train import cast_grads
+
+        g = {"w": jnp.ones((4,), jnp.float32)}
+        assert cast_grads(g, None) is g
+        assert cast_grads(g, "float32") is g
+
+    def test_grad_accum_rejects_bf16_grads(self):
+        from multimodal_classification_tpu.training.train import make_optimizer
+
+        tcfg = TrainingConfig(grad_accum_steps=4, grads_dtype="bfloat16")
+        with pytest.raises(ValueError, match="grad_accum"):
+            make_optimizer(tcfg, total_steps=100)
