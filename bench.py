@@ -64,7 +64,10 @@ def _build_fixture(cache_dir: str) -> str:
     return path
 
 
-def main() -> int:
+def setup(k: int = 10):
+    """Build the bench configuration: device-resident data, jitted K-step
+    train step, initial state and the index-block iterator. Shared by the
+    throughput measurement (main) and scripts/profile_step.py."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -144,12 +147,13 @@ def main() -> int:
     state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
     # K steps per dispatch: lax.scan over an index matrix (amortises host
     # dispatch latency; the whole epoch is one compiled call)
-    K = 10
+    K = k
     # grads dtype: env-overridable for A/B measurement (bf16 measured SLOWER
     # here — see CLAUDE.md perf dead ends; the cast doesn't fuse into bwd)
     grads_dtype = os.environ.get("BENCH_GRADS_DTYPE", "float32")
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
     step = jax.jit(make_device_multi_step(model, loss_fn, tx, seq_bucket=bucket,
-                                          grads_dtype=grads_dtype),
+                                          grads_dtype=grads_dtype, unroll=unroll),
                    donate_argnums=0)
     rng_key = jax.random.key(1, impl="rbg")
 
@@ -164,7 +168,11 @@ def main() -> int:
                     block = []
             e += 1
 
-    it = index_blocks()
+    return step, state, data, index_blocks(), rng_key, K
+
+
+def main() -> int:
+    step, state, data, it, rng_key, K = setup()
     for _ in range(max(WARMUP_STEPS // K, 1)):
         state, m = step(state, data, next(it), rng_key)
     # fetch the VALUE (device→host): on remote/tunneled backends
