@@ -152,8 +152,10 @@ def setup(k: int = 10):
     # here — see CLAUDE.md perf dead ends; the cast doesn't fuse into bwd)
     grads_dtype = os.environ.get("BENCH_GRADS_DTYPE", "float32")
     unroll = int(os.environ.get("BENCH_UNROLL", "1"))
+    pack_carry = os.environ.get("BENCH_PACK", "0") == "1"
     step = jax.jit(make_device_multi_step(model, loss_fn, tx, seq_bucket=bucket,
-                                          grads_dtype=grads_dtype, unroll=unroll),
+                                          grads_dtype=grads_dtype, unroll=unroll,
+                                          pack_carry=pack_carry),
                    donate_argnums=0)
     rng_key = jax.random.key(1, impl="rbg")
 

@@ -189,10 +189,17 @@ def make_device_train_step(model, loss_fn, tx, seq_bucket: Optional[int] = None,
 
 def make_device_multi_step(model, loss_fn, tx, unroll: int = 1,
                            seq_bucket: Optional[int] = None,
-                           grads_dtype: Optional[str] = None):
+                           grads_dtype: Optional[str] = None,
+                           pack_carry: bool = False):
     """K training steps per dispatch via lax.scan over an index matrix
     [K, B] — amortises host dispatch latency and lets XLA pipeline step
-    boundaries. The whole epoch can be one compiled call."""
+    boundaries. The whole epoch can be one compiled call.
+
+    ``pack_carry`` flattens the TrainState's small leaves (biases/LayerNorm
+    params + their Adam moments) into per-dtype vectors across the scan —
+    see training/packing.py for the profile-driven rationale. Numerically
+    exact either way.
+    """
     from multimodal_classification_tpu.training.train import (
         TrainState, cast_grads, model_inputs,
     )
@@ -223,7 +230,16 @@ def make_device_multi_step(model, loss_fn, tx, unroll: int = 1,
         def body(st, idx):
             return one(st, data, idx, rng)
 
-        state, losses = jax.lax.scan(body, state, index_matrix, unroll=unroll)
+        if pack_carry:
+            from multimodal_classification_tpu.training.packing import (
+                plan_packing, scan_packed,
+            )
+
+            spec = plan_packing(state)
+            state, losses = scan_packed(body, state, index_matrix, spec,
+                                        unroll=unroll)
+        else:
+            state, losses = jax.lax.scan(body, state, index_matrix, unroll=unroll)
         return state, {"loss": jnp.mean(losses), "losses": losses}
 
     return multi

@@ -150,6 +150,66 @@ def test_multi_step_scan_matches_sequential_steps():
     )
 
 
+def test_multi_step_packed_carry_is_bit_identical():
+    """pack_carry=True (training/packing.py: small leaves flattened across
+    the scan) computes the SAME function — losses and params bit-identical
+    to the plain scan."""
+    import optax
+
+    from multimodal_classification_tpu.data.device_cache import make_device_multi_step
+    from multimodal_classification_tpu.training.train import TrainState
+
+    cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False, v_feature_size=32)
+    model = ViLBERTForClassification(cfg)
+    ds = _dataset(16)
+    data = build_device_data(ds, feature_dtype=jnp.float32)
+    loss_fn = get_loss_function("ce")
+    tx = optax.adamw(1e-3)
+    batch0 = {k: np.stack([ds.get(i)[k] for i in range(4)]) for k in ds.get(0)}
+    params = model.init(jax.random.key(0), **model_inputs(batch0))["params"]
+
+    def fresh_state():
+        return TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+
+    idx = jnp.asarray(np.stack(
+        [np.asarray(list(epoch_indices(16, 4, e, seed=0)))[0] for e in range(3)]))
+    rng = jax.random.key(1, impl="rbg")
+
+    plain = jax.jit(make_device_multi_step(model, loss_fn, tx))
+    packed = jax.jit(make_device_multi_step(model, loss_fn, tx, pack_carry=True))
+    s1, m1 = plain(fresh_state(), data, idx, rng)
+    s2, m2 = packed(fresh_state(), data, idx, rng)
+    np.testing.assert_array_equal(np.asarray(m1["losses"]), np.asarray(m2["losses"]))
+    assert int(s2.step) == 3
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packing_round_trip_mixed_tree():
+    """pack/unpack preserve every leaf (dtype groups, scalars, large passthrough)."""
+    from multimodal_classification_tpu.training.packing import (
+        pack,
+        plan_packing,
+        unpack,
+    )
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "w": jnp.asarray(rng.standard_normal((512, 512)), jnp.float32),  # large
+        "b": jnp.asarray(rng.standard_normal(768), jnp.float32),
+        "ln": {"scale": jnp.asarray(rng.standard_normal(64), jnp.bfloat16),
+               "bias": jnp.asarray(rng.standard_normal(64), jnp.bfloat16)},
+        "step": jnp.int32(7),
+    }
+    spec = plan_packing(tree)
+    assert len(spec.large_positions) == 1  # only the 512x512 weight
+    packs, large = pack(tree, spec)
+    got = unpack(packs, large, spec)
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(got)):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_sharded_device_data_multichip_training():
     """Dataset sharded over dp on an 8-device CPU mesh: shard-local gather
     (shard_map) + dp training step runs and learns."""
