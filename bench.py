@@ -39,7 +39,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 import numpy as np
 
 REFERENCE_MEMES_PER_SEC_ESTIMATE = 100.0
-BATCH_SIZE = 16
+# headline config is batch 16 (the 0.7580-AUROC setting); BENCH_BATCH=32
+# measures the reference's lmdb_b32 ablation config (quality −1.47 AUROC pts
+# per its own tuning log, but higher throughput — reported for completeness)
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "16"))
 SEQ_LEN = 128
 NUM_REGIONS = 100
 FEATURE_DIM = 2048

@@ -28,6 +28,13 @@ def main(argv=None) -> int:
     list_p = sub.add_parser("list", help="list pipelines / models / extractors")
     list_p.add_argument("what", choices=["pipelines", "models", "extractors"])
 
+    plots_p = sub.add_parser(
+        "plots", help="render comparison/training-curve figures from mlruns/ "
+                      "(the reference's generate_plots.py)")
+    plots_p.add_argument("--root", default=".", help="project root (mlruns/)")
+    plots_p.add_argument("--out", default=None,
+                         help="output dir (default <root>/plots)")
+
     args = parser.parse_args(argv)
     from multimodal_classification_tpu.utils.logging import setup_logging
 
@@ -43,6 +50,16 @@ def main(argv=None) -> int:
             "extractors": registry.list_available_extractors,
         }[args.what]()
         print("\n".join(items))
+        return 0
+
+    if args.command == "plots":
+        from multimodal_classification_tpu.utils.plots import generate_plots
+
+        written = generate_plots(
+            mlruns_root=os.path.join(args.root, "mlruns"),
+            out_dir=args.out or os.path.join(args.root, "plots"),
+        )
+        print("\n".join(written))
         return 0
 
     from multimodal_classification_tpu.config import default_parameter_paths, load_parameters
