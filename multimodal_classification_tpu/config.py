@@ -273,6 +273,21 @@ def load_parameters(*paths: str) -> Dict[str, Any]:
     return params
 
 
+# ablation pipeline variants are "<base>_<axis>" (the reference's regression
+# grid, parameters.yml:592-595 etc.); the base determines the feature source
+# and provides the config-fallback layer between the defaults and the
+# ablation block
+ABLATION_SUFFIXES = ("_b32", "_freeze6", "_focal")
+
+
+def base_variant(variant: str) -> str:
+    """'lmdb_freeze6' -> 'lmdb'; non-ablation variants pass through."""
+    for s in ABLATION_SUFFIXES:
+        if variant.endswith(s):
+            return variant[: -len(s)]
+    return variant
+
+
 def experiment_from_parameters(
     params: Mapping[str, Any], variant: str = ""
 ) -> ExperimentConfig:
@@ -281,12 +296,19 @@ def experiment_from_parameters(
     ``variant=""`` reads the default ``vilbert``/``training`` blocks;
     ``variant="lmdb"`` reads ``vilbert_lmdb``/``training_lmdb`` with fallback
     to the defaults — the exact selection convention of the reference
-    (nodes.py:214 config_key, :720-723 training params fallback).
+    (nodes.py:214 config_key, :720-723 training params fallback). Ablation
+    variants (``lmdb_freeze6``) additionally merge their base variant's
+    blocks (``vilbert_lmdb``) between the defaults and their own, so an
+    ablation block only needs to state the axis it changes.
     """
     suffix = f"_{variant}" if variant else ""
     model_block = dict(params.get("vilbert", {}) or {})
-    model_block.update(params.get(f"vilbert{suffix}", {}) or {})
     train_block = dict(params.get("training", {}) or {})
+    base = base_variant(variant)
+    if base != variant:
+        model_block.update(params.get(f"vilbert_{base}", {}) or {})
+        train_block.update(params.get(f"training_{base}", {}) or {})
+    model_block.update(params.get(f"vilbert{suffix}", {}) or {})
     train_block.update(params.get(f"training{suffix}", {}) or {})
     data_proc = dict(params.get("data_processing", {}) or {})
 

@@ -122,9 +122,13 @@ def make_feature_store(
 ) -> Optional[FeatureStore]:
     """Feature source for a pipeline variant: LMDB / HDF5 precomputed / an
     extractor-backed store (batched + cached — the reference extracted
-    per-image inside __getitem__, nodes.py:129-148)."""
-    if variant in PRECOMPUTED_VARIANTS:
-        if variant == "lmdb":
+    per-image inside __getitem__, nodes.py:129-148). Ablation variants
+    (``lmdb_freeze6``) source features like their base variant."""
+    from multimodal_classification_tpu.config import base_variant
+
+    feature_variant = base_variant(variant)
+    if feature_variant in PRECOMPUTED_VARIANTS:
+        if feature_variant == "lmdb":
             from multimodal_classification_tpu.data.lmdb_store import LMDBFeatureStore
 
             return LMDBFeatureStore(
@@ -135,7 +139,7 @@ def make_feature_store(
             _resolve(ex.data.hdf5_features_path, root,
                      "data/02_intermediate/precomputed_features.h5")
         )
-    extractor_name = EXTRACTOR_VARIANTS.get(variant, ex.data.feature_extractor)
+    extractor_name = EXTRACTOR_VARIANTS.get(feature_variant, ex.data.feature_extractor)
     from multimodal_classification_tpu.extractors.store import ExtractorFeatureStore
 
     return ExtractorFeatureStore(

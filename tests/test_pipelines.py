@@ -208,6 +208,45 @@ class TestLmdbTrainPipeline:
         result = run_training_pipeline("lmdb", params, root)
         assert np.isfinite(result["history"]["train_loss"]).all()
 
+    def test_ablation_variant_routes_to_base_feature_source(self, project, tmp_path):
+        """Regression: 'lmdb_freeze6'/'lmdb_b32'/'lmdb_focal' must source
+        features exactly like 'lmdb' — a TPU run caught them falling through
+        to the default extractor (random weights, zero features) because the
+        variant name wasn't in PRECOMPUTED_VARIANTS."""
+        from multimodal_classification_tpu.config import (
+            base_variant,
+            experiment_from_parameters,
+        )
+        from multimodal_classification_tpu.data.lmdb_store import LMDBFeatureStore
+        from multimodal_classification_tpu.pipelines.base import make_feature_store
+
+        assert base_variant("lmdb_freeze6") == "lmdb"
+        assert base_variant("resnet152_roi_focal") == "resnet152_roi"
+        assert base_variant("lmdb") == "lmdb"
+
+        root, params = project
+        for variant in ("lmdb_freeze6", "lmdb_b32", "lmdb_focal"):
+            ex = experiment_from_parameters(params, variant)
+            store = make_feature_store(variant, ex, root)
+            assert isinstance(store, LMDBFeatureStore), variant
+
+    def test_lmdb_freeze6_trains_end_to_end(self, project, tmp_path):
+        """The ablation pipeline itself (not just its options) recovers the
+        injected signal; the ablation block only states its axis — base
+        blocks (vilbert_lmdb) merge in underneath."""
+        root, params = project
+        params = {
+            **params,
+            "vilbert_lmdb_freeze6": {
+                "freeze_bert_layers": 1,
+                "output_dir": str(tmp_path / "out"),
+            },
+            "training_lmdb_freeze6": {"num_epochs": 3},
+        }
+        result = run_training_pipeline("lmdb_freeze6", params, root)
+        assert np.isfinite(result["history"]["train_loss"]).all()
+        assert result["history"]["val_auroc"][-1] > 0.8
+
     def test_inference_pipeline_writes_predictions(self, project):
         root, params = project
         lmdb_abs = os.path.join(root, "data/01_raw/lmdb_features/detectron.lmdb")
