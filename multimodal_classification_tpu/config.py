@@ -236,6 +236,12 @@ class ExperimentConfig:
     freeze_bert_layers: int = 0
     pretrained_checkpoint: Optional[str] = None
     output_dir: str = "data/05_model_output"
+    # int8 MXU serving for validate/inference pipelines: quantize large Dense
+    # kernels offline (ops/quant.py) and run eval matmuls int8×int8→int32 —
+    # 2× the bf16 MXU rate on v5e. Training is never quantized. Kernels with
+    # min(shape) < serving_int8_min_dim stay float (cheap + precision-critical).
+    serving_int8: bool = False
+    serving_int8_min_dim: int = 256
 
 
 # ---------------------------------------------------------------------------
@@ -340,6 +346,8 @@ def experiment_from_parameters(
         pretrained_checkpoint=model_block.get("pretrained_checkpoint")
         or model_block.get("checkpoint_path"),
         output_dir=model_block.get("output_dir", "data/05_model_output"),
+        serving_int8=bool(model_block.get("serving_int8", False)),
+        serving_int8_min_dim=int(model_block.get("serving_int8_min_dim", 256)),
     )
 
 

@@ -343,9 +343,21 @@ def run_inference_pipeline(
     if use_local_checkpoint and trainer.ckpt.exists("best"):
         params_tree = trainer.ckpt.restore("best")["params"]
 
-    from multimodal_classification_tpu.training.train import make_eval_step
+    from multimodal_classification_tpu.training.train import (
+        make_eval_step,
+        make_quant_eval_step,
+    )
 
-    eval_step = jax.jit(make_eval_step(model))
+    if ex.serving_int8:
+        from multimodal_classification_tpu.ops.quant import build_quant_tree
+
+        quant = build_quant_tree(params_tree, min_dim=ex.serving_int8_min_dim)
+        _step = jax.jit(make_quant_eval_step(model))
+
+        def eval_step(p, b):
+            return _step(p, quant, b)
+    else:
+        eval_step = jax.jit(make_eval_step(model))
     rows = []
     i = 0
     for batch in loader:

@@ -177,6 +177,20 @@ def make_eval_step(model) -> Callable:
     return eval_step
 
 
+def make_quant_eval_step(model) -> Callable:
+    """Int8-serving eval step: the quant tree (ops.quant.build_quant_tree)
+    rides as an argument, not a closure, so it lives in HBM instead of being
+    baked into the program as literals."""
+
+    def eval_step(params, quant, batch):
+        out = model.apply(
+            {"params": params, "quant": quant}, **model_inputs(batch), deterministic=True
+        )
+        return out["logits"].astype(jnp.float32)
+
+    return eval_step
+
+
 class Trainer:
     """Epoch-level orchestration: train → validate → early-stop → checkpoint.
 

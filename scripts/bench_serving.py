@@ -27,15 +27,21 @@ def main() -> int:
         ViLBERTForClassification,
         dummy_batch,
     )
-    from multimodal_classification_tpu.training.train import make_eval_step, model_inputs
+    from multimodal_classification_tpu.ops.quant import build_quant_tree, count_quantized
+    from multimodal_classification_tpu.training.train import (
+        make_eval_step,
+        make_quant_eval_step,
+        model_inputs,
+    )
 
     dev = jax.devices()[0]
     print(f"serving bench on {dev.platform}:{dev.device_kind}", file=sys.stderr)
     cfg = facebook_vilbert_config()
     model = ViLBERTForClassification(cfg)
     eval_step = jax.jit(make_eval_step(model))
+    quant_step = jax.jit(make_quant_eval_step(model))
 
-    params = None
+    params = quant = None
     for bs in (1, 16, 64):
         batch = dummy_batch(cfg, bs, 128, 100)
         rng = np.random.default_rng(0)
@@ -44,20 +50,28 @@ def main() -> int:
         )
         if params is None:
             params = model.init(jax.random.key(0), **batch)["params"]
-        for _ in range(3):
-            logits = eval_step(params, model_inputs(batch))
-        _ = float(logits[0, 0])
-        n = 20
-        t0 = time.perf_counter()
-        for _ in range(n):
-            logits = eval_step(params, model_inputs(batch))
-        _ = float(logits[0, 0])
-        dt = time.perf_counter() - t0
-        print(json.dumps({
-            "batch_size": bs,
-            "latency_ms": round(dt / n * 1000, 2),
-            "memes_per_sec": round(n * bs / dt, 1),
-        }))
+            quant = build_quant_tree(params)
+            print(f"int8-quantized kernels: {count_quantized(quant)}", file=sys.stderr)
+
+        for name, step in (
+            ("bf16", lambda b: eval_step(params, model_inputs(b))),
+            ("int8", lambda b: quant_step(params, quant, model_inputs(b))),
+        ):
+            for _ in range(3):
+                logits = step(batch)
+            _ = float(logits[0, 0])
+            n = 20
+            t0 = time.perf_counter()
+            for _ in range(n):
+                logits = step(batch)
+            _ = float(logits[0, 0])
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "path": name,
+                "batch_size": bs,
+                "latency_ms": round(dt / n * 1000, 2),
+                "memes_per_sec": round(n * bs / dt, 1),
+            }))
     return 0
 
 

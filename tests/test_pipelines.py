@@ -255,3 +255,62 @@ class TestLmdbTrainPipeline:
         assert len(df) == 24
         assert {"id", "probability", "prediction", "label"} <= set(df.columns)
         assert os.path.exists(os.path.join(root, "data/07_model_output/predictions.csv"))
+
+
+class TestEveryVariantConfigBuilds:
+    """Breadth gate: every registered pipeline name resolves to a callable,
+    and every training variant's shipped config block (conf/base/
+    parameters.yml) produces a constructible model + a registered feature
+    extractor + a registered loss — so no --pipeline flag can hit an
+    unresolvable config at runtime."""
+
+    def test_every_registered_name_resolves(self):
+        from multimodal_classification_tpu.registry import get_pipeline
+
+        for name in list_available_pipelines():
+            assert callable(get_pipeline(name)), name
+
+    def test_every_train_variant_config_builds(self):
+        import multimodal_classification_tpu.extractors  # noqa: F401 registry fill
+        from multimodal_classification_tpu.config import (
+            base_variant,
+            experiment_from_parameters,
+            load_parameters,
+        )
+        from multimodal_classification_tpu.models.vilbert import ViLBERTForClassification
+        from multimodal_classification_tpu.pipelines import _TRAIN_VARIANTS
+        from multimodal_classification_tpu.pipelines.base import EXTRACTOR_VARIANTS
+        from multimodal_classification_tpu.registry import (
+            FEATURE_EXTRACTOR_REGISTRY,
+            LOSS_REGISTRY,
+        )
+
+        params = load_parameters(
+            os.path.join(os.path.dirname(__file__), "..", "conf", "base", "parameters.yml")
+        )
+        for variant in _TRAIN_VARIANTS:
+            ex = experiment_from_parameters(params, variant)
+            model = ViLBERTForClassification(ex.model)
+            assert model.cfg.num_labels == 2, variant
+            feature_variant = base_variant(variant)
+            if feature_variant not in ("lmdb", "lmdb_b32", "precomputed"):
+                name = EXTRACTOR_VARIANTS.get(feature_variant, ex.data.feature_extractor)
+                assert name in FEATURE_EXTRACTOR_REGISTRY, (variant, name)
+            assert ex.training.loss_type in LOSS_REGISTRY, (variant, ex.training.loss_type)
+
+    def test_int8_serving_inference_agrees_with_float(self, project):
+        """serving_int8 runs the whole inference pipeline through the int8
+        MXU path (ops/quant.py) and must reproduce the float pipeline's
+        predictions on the separable fixture."""
+        root, params = project
+        lmdb_abs = os.path.join(root, "data/01_raw/lmdb_features/detectron.lmdb")
+        base = {**params["vilbert_lmdb"], "lmdb_path": lmdb_abs}
+        p_float = {**params, "vilbert_lmdb": base}
+        p_int8 = {**params, "vilbert_lmdb": {**base, "serving_int8": True,
+                                             "serving_int8_min_dim": 16}}
+        df_f = run_inference_pipeline("lmdb", p_float, root)
+        df_q = run_inference_pipeline("lmdb", p_int8, root)
+        agree = (df_f["prediction"].values == df_q["prediction"].values).mean()
+        assert agree >= 0.95, agree
+        # probabilities track closely, not just the argmax
+        assert np.abs(df_f["probability"].values - df_q["probability"].values).max() < 0.15
