@@ -24,6 +24,12 @@ def main(argv=None) -> int:
         help="parameter YAML paths (default: conf/base + conf/local)",
     )
     run_p.add_argument("--experiment", default="Default", help="tracking experiment name")
+    run_p.add_argument(
+        "--resume", action="store_true",
+        help="continue a training pipeline from its 'last' full-state "
+             "checkpoint (written per epoch, on SIGTERM preemption, and at "
+             "the final epoch)",
+    )
 
     list_p = sub.add_parser("list", help="list pipelines / models / extractors")
     list_p.add_argument("what", choices=["pipelines", "models", "extractors"])
@@ -70,8 +76,19 @@ def main(argv=None) -> int:
     params = load_parameters(*paths)
     pipeline = get_pipeline(args.pipeline)
     tracker = Tracker(root=f"{args.root}/mlruns", experiment=args.experiment)
-    result = pipeline(params, root=args.root, tracker=tracker) \
-        if args.pipeline != "data_processing" else pipeline(params, root=args.root)
+    if args.pipeline == "data_processing":
+        result = pipeline(params, root=args.root)
+    else:
+        kwargs = {"root": args.root, "tracker": tracker}
+        if args.resume:
+            import functools
+            import inspect
+
+            target = pipeline.func if isinstance(pipeline, functools.partial) else pipeline
+            if "resume" not in inspect.signature(target).parameters:
+                parser.error(f"--resume is not supported by pipeline {args.pipeline}")
+            kwargs["resume"] = True
+        result = pipeline(params, **kwargs)
     logging.getLogger(__name__).info("pipeline %s finished: %s", args.pipeline,
                                      type(result).__name__)
     return 0

@@ -219,9 +219,14 @@ def run_training_pipeline(
     splits: Optional[Mapping[str, pd.DataFrame]] = None,
     store: Optional[FeatureStore] = None,
     tokenizer=None,
+    resume: bool = False,
 ) -> Dict[str, Any]:
     """data → loaders → model → train → evaluate → save
-    (the reference's 5-node training template, model_training/pipeline.py:51-87)."""
+    (the reference's 5-node training template, model_training/pipeline.py:51-87).
+
+    ``resume=True`` (CLI: ``mmc-tpu run --resume``) continues from the "last"
+    full-state checkpoint — e.g. after a TPU preemption (the Trainer
+    checkpoints on SIGTERM and exits cleanly)."""
     ex = experiment_from_parameters(params, variant)
     tracker = tracker or NullTracker()
     tracker.start_run(run_name=ex.name)
@@ -260,13 +265,14 @@ def run_training_pipeline(
         )
         if use_device_resident:
             state, history = trainer.fit_device_resident(
-                datasets["train"], datasets["val"], init_params
+                datasets["train"], datasets["val"], init_params, resume=resume
             )
         else:
             state, history = trainer.fit(
                 loaders["train"], loaders["val"],
                 steps_per_epoch=len(loaders["train"]),
                 init_params=init_params,
+                resume=resume,
             )
         _write_json(catalog_path("training_history", root), history)
 
@@ -314,7 +320,17 @@ def run_validation_pipeline(
                       checkpoint_dir=os.path.join(root, ex.output_dir))
     if trainer.ckpt.exists("best"):
         params_tree = trainer.ckpt.restore("best")["params"]
-    metrics = trainer.evaluate(params_tree, loader)
+    eval_step = None
+    if ex.serving_int8:
+        from multimodal_classification_tpu.ops.quant import build_quant_tree
+        from multimodal_classification_tpu.training.train import make_quant_eval_step
+
+        quant = build_quant_tree(params_tree, min_dim=ex.serving_int8_min_dim)
+        _step = jax.jit(make_quant_eval_step(model))
+
+        def eval_step(p, b):
+            return _step(p, quant, b)
+    metrics = trainer.evaluate(params_tree, loader, eval_step)
     _write_json(catalog_path("validation_metrics", root), metrics)
     return metrics
 
@@ -327,10 +343,13 @@ def run_inference_pipeline(
     splits=None,
     store=None,
     tokenizer=None,
+    tracker: Optional[Tracker] = None,
 ) -> pd.DataFrame:
     """Predictions DataFrame + CSV (reference: run_inference nodes.py:967-1009,
-    predictions.csv catalog.yml:61-63)."""
+    predictions.csv catalog.yml:61-63). Metrics are logged to the tracker when
+    labels exist (reference nodes.py:997-1003 logs inference_* to MLflow)."""
     ex = experiment_from_parameters(params, variant)
+    tracker = tracker or NullTracker()
     if splits is None:
         splits = run_data_processing(params, root)
     if store is None:
@@ -386,4 +405,6 @@ def run_inference_pipeline(
 
         m = binary_metrics(df["label"].to_numpy(), df["probability"].to_numpy())
         _write_json(catalog_path("inference_metrics", root), m)
+        tracker.log_metrics({f"inference_{k}": v for k, v in m.items()
+                             if isinstance(v, (int, float))})
     return df

@@ -20,6 +20,7 @@ import inspect
 import json
 import logging
 import os
+import signal
 import time
 from typing import Any, Callable, Dict, Iterable, Mapping, Optional, Tuple
 
@@ -191,6 +192,40 @@ def make_quant_eval_step(model) -> Callable:
     return eval_step
 
 
+class _PreemptionGuard:
+    """Graceful-preemption handler for the duration of a fit: on SIGTERM
+    (the signal TPU-VM maintenance/preemption delivers before the grace
+    window closes), flip ``requested`` so the epoch loop checkpoints full
+    state and exits cleanly — ``fit(..., resume=True)`` then continues the
+    exact trajectory. The reference loses everything on any interruption
+    (its best state lives in RAM until save_model — SURVEY.md §5)."""
+
+    def __init__(self, signals=(signal.SIGTERM,)):
+        self.requested = False
+        self._signals = signals
+        self._old = {}
+
+    def _on(self, signum, frame):
+        self.requested = True
+        logger.warning(
+            "signal %d received: will checkpoint full state at the end of "
+            "this epoch and stop (resume with resume=True)", signum
+        )
+
+    def __enter__(self):
+        for s in self._signals:
+            try:
+                self._old[s] = signal.signal(s, self._on)
+            except ValueError:  # not the main thread — run unguarded
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        for s, h in self._old.items():
+            signal.signal(s, h)
+        return False
+
+
 class Trainer:
     """Epoch-level orchestration: train → validate → early-stop → checkpoint.
 
@@ -332,59 +367,64 @@ class Trainer:
         dropout_rng = jax.random.fold_in(rng, 1)
         takes_epoch = _accepts_epoch(train_data)
 
-        for epoch in range(start_epoch, tcfg.num_epochs + 1):
-            t0 = time.time()
-            losses, n_seen = [], 0
-            for batch in (train_data(epoch) if takes_epoch else train_data()):
-                dev_batch = self.put_batch(batch)
-                n_seen += int(batch.get("weights", batch["labels"] * 0 + 1).sum())
-                state, metrics = train_step(state, dev_batch, dropout_rng)
-                losses.append(metrics["loss"])
-            train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else 0.0
+        with _PreemptionGuard() as guard:
+            for epoch in range(start_epoch, tcfg.num_epochs + 1):
+                t0 = time.time()
+                losses, n_seen = [], 0
+                for batch in (train_data(epoch) if takes_epoch else train_data()):
+                    dev_batch = self.put_batch(batch)
+                    n_seen += int(batch.get("weights", batch["labels"] * 0 + 1).sum())
+                    state, metrics = train_step(state, dev_batch, dropout_rng)
+                    losses.append(metrics["loss"])
+                train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else 0.0
 
-            val_metrics = self.evaluate(state.params, val_data, eval_step)
-            dt = time.time() - t0
-            self.history["train_loss"].append(train_loss)
-            self.history["val_loss"].append(val_metrics.get("loss", float("nan")))
-            self.history["val_auroc"].append(val_metrics["auroc"])
-            self.tracker.log_metrics(
-                {
-                    "train_loss": train_loss,
-                    "val_loss": val_metrics.get("loss", float("nan")),
-                    "val_auroc": val_metrics["auroc"],
-                    "val_accuracy": val_metrics["accuracy"],
-                    "epoch_seconds": dt,
-                    "train_examples_per_sec": n_seen / max(dt, 1e-9),
-                },
-                step=epoch,
-            )
-            logger.info(
-                "epoch %d: train_loss=%.4f val_loss=%.4f val_auroc=%.4f (%.1fs)",
-                epoch, train_loss, val_metrics.get("loss", float("nan")),
-                val_metrics["auroc"], dt,
-            )
+                val_metrics = self.evaluate(state.params, val_data, eval_step)
+                dt = time.time() - t0
+                self.history["train_loss"].append(train_loss)
+                self.history["val_loss"].append(val_metrics.get("loss", float("nan")))
+                self.history["val_auroc"].append(val_metrics["auroc"])
+                self.tracker.log_metrics(
+                    {
+                        "train_loss": train_loss,
+                        "val_loss": val_metrics.get("loss", float("nan")),
+                        "val_auroc": val_metrics["auroc"],
+                        "val_accuracy": val_metrics["accuracy"],
+                        "epoch_seconds": dt,
+                        "train_examples_per_sec": n_seen / max(dt, 1e-9),
+                    },
+                    step=epoch,
+                )
+                logger.info(
+                    "epoch %d: train_loss=%.4f val_loss=%.4f val_auroc=%.4f (%.1fs)",
+                    epoch, train_loss, val_metrics.get("loss", float("nan")),
+                    val_metrics["auroc"], dt,
+                )
 
-            stop = False
-            if val_metrics["auroc"] > best_auroc:
-                best_auroc, best_epoch, patience = val_metrics["auroc"], epoch, 0
-                self.ckpt.save("best", {"params": state.params, "epoch": epoch,
-                                        "val_auroc": best_auroc})
-            else:
-                patience += 1
-                stop = patience >= tcfg.early_stopping_patience
-            # "last" is saved on EVERY epoch, including the early-stop one —
-            # full state so resume continues the exact trajectory
-            self.ckpt.save("last", {
-                "state": state,
-                "meta": {"epoch": epoch, "best_auroc": float(best_auroc),
-                         "patience": int(patience), "best_epoch": int(best_epoch)},
-            })
-            with open(os.path.join(self.ckpt.directory, "history.json"), "w") as f:
-                json.dump(self.history, f)
-            if stop:
-                logger.info("early stopping at epoch %d (best %.4f @ %d)",
-                            epoch, best_auroc, best_epoch)
-                break
+                stop = False
+                if val_metrics["auroc"] > best_auroc:
+                    best_auroc, best_epoch, patience = val_metrics["auroc"], epoch, 0
+                    self.ckpt.save("best", {"params": state.params, "epoch": epoch,
+                                            "val_auroc": best_auroc})
+                else:
+                    patience += 1
+                    stop = patience >= tcfg.early_stopping_patience
+                # "last" is saved on EVERY epoch, including the early-stop one —
+                # full state so resume continues the exact trajectory
+                self.ckpt.save("last", {
+                    "state": state,
+                    "meta": {"epoch": epoch, "best_auroc": float(best_auroc),
+                             "patience": int(patience), "best_epoch": int(best_epoch)},
+                })
+                with open(os.path.join(self.ckpt.directory, "history.json"), "w") as f:
+                    json.dump(self.history, f)
+                if stop:
+                    logger.info("early stopping at epoch %d (best %.4f @ %d)",
+                                epoch, best_auroc, best_epoch)
+                    break
+                if guard.requested:
+                    logger.info("preemption checkpoint complete at epoch %d; "
+                                "stopping cleanly", epoch)
+                    break
 
         # restore best params (reference restores the RAM clone, nodes.py:836-838)
         if self.ckpt.exists("best"):
@@ -400,6 +440,7 @@ class Trainer:
         val_ds,
         init_params,
         rng_seed: Optional[int] = None,
+        resume: bool = False,
     ) -> Tuple[TrainState, Dict[str, list]]:
         """Train with the whole tensorised dataset resident in HBM
         (data/device_cache.py): batches gather by index inside the jitted
@@ -410,6 +451,14 @@ class Trainer:
         (shard_map, no input collectives), and gradients all-reduce over ICI
         — SURVEY.md §7.4. mp>1 is not supported on this path (params are
         replicated); use fit() for tensor parallelism.
+
+        Preemption/resume: the full train state is checkpointed as "last" on
+        SIGTERM (graceful-preemption window), on early stop, and at the final
+        epoch — NOT every epoch, because pulling the ~2.5 GB state over a
+        slow relay link each epoch would dominate the 12 s flagship epoch.
+        ``resume=True`` continues the exact trajectory from that checkpoint
+        (dropout stream is keyed on the restored step; data order on the
+        epoch).
         """
         from multimodal_classification_tpu.data.device_cache import (
             build_device_data,
@@ -517,34 +566,82 @@ class Trainer:
                                          epoch, seed=seed)
 
         best_auroc, patience, best_epoch = 0.0, 0, 0
-        for epoch in range(1, tcfg.num_epochs + 1):
-            t0 = time.time()
-            losses = []
-            for idx in _train_batches(epoch):
-                state, m = step(state, train_data, jnp.asarray(idx), rng)
-                losses.append(m["loss"])
-            train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else 0.0
-            vm = eval_metrics(state.params)
-            dt = time.time() - t0
-            self.history["train_loss"].append(train_loss)
-            self.history["val_loss"].append(vm.get("loss", float("nan")))
-            self.history["val_auroc"].append(vm["auroc"])
-            self.tracker.log_metrics(
-                {"train_loss": train_loss, "val_loss": vm.get("loss", float("nan")),
-                 "val_auroc": vm["auroc"], "val_accuracy": vm["accuracy"],
-                 "epoch_seconds": dt,
-                 "train_examples_per_sec": steps_per_epoch * tcfg.batch_size / max(dt, 1e-9)},
-                step=epoch,
+        start_epoch = 1
+        if resume and self.ckpt.exists("last"):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            put = (lambda x: jax.device_put(x, rep)) if dp > 1 else jax.device_put
+            template = {
+                "state": state,
+                "meta": {"epoch": 0, "best_auroc": 0.0, "patience": 0, "best_epoch": 0},
+            }
+            restored = self.ckpt.restore("last", template)
+            state = TrainState(
+                put(restored["state"].step),
+                jax.tree.map(put, restored["state"].params),
+                jax.tree.map(put, restored["state"].opt_state),
             )
-            logger.info("epoch %d: train_loss=%.4f val_auroc=%.4f (%.1fs, device-resident)",
-                        epoch, train_loss, vm["auroc"], dt)
-            if vm["auroc"] > best_auroc:
-                best_auroc, best_epoch, patience = vm["auroc"], epoch, 0
-                self.ckpt.save("best", {"params": state.params, "epoch": epoch,
-                                        "val_auroc": best_auroc})
-            else:
-                patience += 1
-                if patience >= tcfg.early_stopping_patience:
+            meta = restored["meta"]
+            start_epoch = int(meta["epoch"]) + 1
+            best_auroc = float(meta["best_auroc"])
+            patience = int(meta["patience"])
+            best_epoch = int(meta["best_epoch"])
+            hist_path = os.path.join(self.ckpt.directory, "history.json")
+            if os.path.exists(hist_path):
+                with open(hist_path) as f:
+                    self.history = json.load(f)
+            logger.info("resumed device-resident training from epoch %d (step %d)",
+                        start_epoch - 1, int(np.asarray(state.step)))
+
+        def _save_last(epoch):
+            self.ckpt.save("last", {
+                "state": state,
+                "meta": {"epoch": epoch, "best_auroc": float(best_auroc),
+                         "patience": int(patience), "best_epoch": int(best_epoch)},
+            })
+            with open(os.path.join(self.ckpt.directory, "history.json"), "w") as f:
+                json.dump(self.history, f)
+
+        with _PreemptionGuard() as guard:
+            for epoch in range(start_epoch, tcfg.num_epochs + 1):
+                t0 = time.time()
+                losses = []
+                for idx in _train_batches(epoch):
+                    state, m = step(state, train_data, jnp.asarray(idx), rng)
+                    losses.append(m["loss"])
+                train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else 0.0
+                vm = eval_metrics(state.params)
+                dt = time.time() - t0
+                self.history["train_loss"].append(train_loss)
+                self.history["val_loss"].append(vm.get("loss", float("nan")))
+                self.history["val_auroc"].append(vm["auroc"])
+                self.tracker.log_metrics(
+                    {"train_loss": train_loss, "val_loss": vm.get("loss", float("nan")),
+                     "val_auroc": vm["auroc"], "val_accuracy": vm["accuracy"],
+                     "epoch_seconds": dt,
+                     "train_examples_per_sec": steps_per_epoch * tcfg.batch_size / max(dt, 1e-9)},
+                    step=epoch,
+                )
+                logger.info("epoch %d: train_loss=%.4f val_auroc=%.4f (%.1fs, device-resident)",
+                            epoch, train_loss, vm["auroc"], dt)
+                stop = False
+                if vm["auroc"] > best_auroc:
+                    best_auroc, best_epoch, patience = vm["auroc"], epoch, 0
+                    self.ckpt.save("best", {"params": state.params, "epoch": epoch,
+                                            "val_auroc": best_auroc})
+                else:
+                    patience += 1
+                    stop = patience >= tcfg.early_stopping_patience
+                if stop or guard.requested or epoch == tcfg.num_epochs:
+                    _save_last(epoch)
+                if guard.requested:
+                    logger.info("preemption checkpoint complete at epoch %d; "
+                                "stopping cleanly", epoch)
+                    break
+                if stop:
+                    logger.info("early stopping at epoch %d (best %.4f @ %d)",
+                                epoch, best_auroc, best_epoch)
                     break
         if self.ckpt.exists("best"):
             restored = self.ckpt.restore("best")

@@ -37,3 +37,9 @@ def test_run_data_processing_pipeline(tmp_path, capsys):
 def test_unknown_pipeline_errors(tmp_path):
     with pytest.raises(KeyError, match="Unknown pipeline"):
         main(["run", "--pipeline=nope", "--root", str(tmp_path)])
+
+
+def test_resume_flag_rejected_for_non_training_pipeline(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["run", "--pipeline=vilbert_inference", "--resume",
+              "--root", str(tmp_path)])

@@ -247,6 +247,24 @@ class TestLmdbTrainPipeline:
         assert np.isfinite(result["history"]["train_loss"]).all()
         assert result["history"]["val_auroc"][-1] > 0.8
 
+    def test_pipeline_resume_continues(self, project):
+        """--resume product surface: a 2-epoch run's 'last' checkpoint is
+        continued by a second invocation with resume=True (full state)."""
+        root, params = project
+        lmdb_abs = os.path.join(root, "data/01_raw/lmdb_features/detectron.lmdb")
+        p = {**params,
+             "vilbert_lmdb": {**params["vilbert_lmdb"], "lmdb_path": lmdb_abs,
+                              "output_dir": "data/05_model_output/resume_t"},
+             "training_lmdb": {**params["training_lmdb"], "num_epochs": 2,
+                               "early_stopping_patience": 50}}
+        out1 = run_training_pipeline("lmdb", p, root)
+        assert len(out1["history"]["train_loss"]) == 2
+        p4 = {**p, "training_lmdb": {**p["training_lmdb"], "num_epochs": 4}}
+        out2 = run_training_pipeline("lmdb", p4, root, resume=True)
+        # continued from epoch 3: history carries the first run's epochs
+        assert len(out2["history"]["train_loss"]) == 4
+        assert out2["history"]["train_loss"][:2] == out1["history"]["train_loss"]
+
     def test_inference_pipeline_writes_predictions(self, project):
         root, params = project
         lmdb_abs = os.path.join(root, "data/01_raw/lmdb_features/detectron.lmdb")

@@ -377,3 +377,135 @@ class TestGradsDtype:
         tcfg = TrainingConfig(grad_accum_steps=4, grads_dtype="bfloat16")
         with pytest.raises(ValueError, match="grad_accum"):
             make_optimizer(tcfg, total_steps=100)
+
+
+class TestPreemption:
+    """Graceful preemption (training/train.py::_PreemptionGuard): SIGTERM
+    mid-run checkpoints full state at the epoch boundary and exits cleanly;
+    resume continues the exact uninterrupted trajectory. No reference
+    counterpart (it loses everything on interruption, SURVEY.md §5)."""
+
+    def _run(self, ckpt_dir, cfg, train_b, val_b, params0, sigterm_at_epoch=None,
+             resume=True):
+        import os as _os
+        import signal as _signal
+
+        from multimodal_classification_tpu.models.vilbert import ViLBERTForClassification
+
+        model = ViLBERTForClassification(cfg)
+        calls = {"n": 0}
+
+        def train_data():
+            calls["n"] += 1
+            if sigterm_at_epoch is not None and calls["n"] == sigterm_at_epoch:
+                _os.kill(_os.getpid(), _signal.SIGTERM)  # handled by the guard
+            return iter(train_b)
+
+        tcfg = TrainingConfig(
+            batch_size=8, num_epochs=4, learning_rate=5e-4, warmup_steps=3,
+            early_stopping_patience=50, mesh_shape=(1, 1), checkpoint_dir=ckpt_dir,
+        )
+        ex = ExperimentConfig(name="p", model=cfg, training=tcfg, data=DataConfig())
+        trainer = Trainer(model, ex, checkpoint_dir=ckpt_dir)
+        trainer.fit(train_data, lambda: iter(val_b), steps_per_epoch=len(train_b),
+                    init_params=params0, resume=resume)
+        return trainer.history
+
+    def test_sigterm_checkpoints_and_resume_is_bit_identical(self, tmp_path):
+        import signal as _signal
+
+        from multimodal_classification_tpu.models.vilbert import ViLBERTForClassification
+        from multimodal_classification_tpu.training.train import model_inputs
+
+        cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False)
+        model = ViLBERTForClassification(cfg)
+        train_b = _synthetic_batches(cfg, 4, 8, seed=0)
+        val_b = _synthetic_batches(cfg, 2, 8, seed=1)
+        params0 = jax.tree.map(
+            np.asarray,
+            model.init(jax.random.key(0), **model_inputs(train_b[0]))["params"],
+        )
+
+        old = _signal.getsignal(_signal.SIGTERM)
+        h_once = self._run(str(tmp_path / "a"), cfg, train_b, val_b, params0)
+        # SIGTERM delivered while fetching epoch-2 data -> runs and
+        # checkpoints epoch 2, then stops cleanly (no exception)
+        h_pre = self._run(str(tmp_path / "b"), cfg, train_b, val_b, params0,
+                          sigterm_at_epoch=2)
+        assert len(h_pre["train_loss"]) == 2
+        # handler restored after fit
+        assert _signal.getsignal(_signal.SIGTERM) is old
+        h_resumed = self._run(str(tmp_path / "b"), cfg, train_b, val_b, params0)
+        np.testing.assert_allclose(h_resumed["train_loss"], h_once["train_loss"],
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(h_resumed["val_auroc"], h_once["val_auroc"],
+                                   rtol=1e-6)
+
+    def test_device_resident_resume_continues_trajectory(self, tmp_path):
+        """fit_device_resident: 'last' saved at the final epoch; resume=True
+        with the remaining epoch budget reproduces the uninterrupted run."""
+        from multimodal_classification_tpu.data import (
+            DictFeatureStore,
+            MemesDataset,
+            WordPieceTokenizer,
+            build_test_vocab,
+        )
+        from multimodal_classification_tpu.models.vilbert import ViLBERTForClassification
+        from multimodal_classification_tpu.training.train import model_inputs
+        from tests.fixtures import make_feature_arrays, make_memes_df
+
+        cfg = tiny_vilbert_config(
+            dtype="float32", use_pallas_attention=False, v_feature_size=32
+        )
+        model = ViLBERTForClassification(cfg)
+
+        def make_ds(n, seed):
+            df = make_memes_df(n, seed=seed)
+            ids = df["id"].tolist()
+            feats, spatial = make_feature_arrays(
+                ids, num_regions=6, dim=32, seed=seed,
+                label_signal=df["label"].tolist(),
+            )
+            store = DictFeatureStore(
+                {i: feats[k] for k, i in enumerate(ids)},
+                {i: spatial[k] for k, i in enumerate(ids)},
+            )
+            tok = WordPieceTokenizer(build_test_vocab())
+            return MemesDataset(df, tok, store, max_seq_length=12,
+                                max_regions=6, feature_dim=32)
+
+        train_ds = make_ds(32, seed=0)
+        val_ds = make_ds(16, seed=1)
+        b = _synthetic_batches(cfg, 1, 2, seed=0)[0]
+        params0 = jax.tree.map(
+            np.asarray,
+            model.init(jax.random.key(0), **model_inputs(b))["params"],
+        )
+
+        def run(ckpt_dir, num_epochs, resume=False):
+            tcfg = TrainingConfig(
+                batch_size=8, num_epochs=num_epochs, learning_rate=5e-4,
+                warmup_steps=3, early_stopping_patience=50, mesh_shape=(1, 1),
+                checkpoint_dir=ckpt_dir,
+            )
+            ex = ExperimentConfig(name="d", model=cfg, training=tcfg,
+                                  data=DataConfig())
+            trainer = Trainer(model, ex, checkpoint_dir=ckpt_dir)
+            _state, history = trainer.fit_device_resident(
+                train_ds, val_ds, jax.tree.map(np.copy, params0), resume=resume)
+            return history
+
+        h_once = run(str(tmp_path / "a"), num_epochs=4)
+        # interrupted run: num_epochs=2 saves "last" at its final epoch...
+        run(str(tmp_path / "b"), num_epochs=2)
+        # ...and the resumed run continues epochs 3-4 of the SAME 4-epoch
+        # schedule. NOTE: the LR schedule length depends on num_epochs, so
+        # resume must use the original epoch budget; warmup (3 steps) is over
+        # by epoch 3 and the linear decay slope matches between a 2-epoch and
+        # 4-epoch schedule only in total_steps -- so run both with the same
+        # decay horizon by comparing only against a 4-epoch uninterrupted run
+        # after resuming with num_epochs=4.
+        h_resumed = run(str(tmp_path / "b"), num_epochs=4, resume=True)
+        assert len(h_resumed["train_loss"]) == 4
+        np.testing.assert_allclose(h_resumed["val_auroc"][2:], h_once["val_auroc"][2:],
+                                   rtol=1e-5)
