@@ -76,14 +76,21 @@ class ViLBERTConfig:
 
     # Numerics: params fp32, activations bfloat16 on the MXU
     dtype: str = "bfloat16"
-    # Use the fused Pallas attention path when on TPU
-    use_pallas_attention: bool = True
+    # Use the fused Pallas attention path when on TPU. Default OFF after
+    # same-run A/B on v5e (round 2): at the flagship eval shapes XLA beats
+    # the per-(batch,head)-program kernels at EVERY batch size —
+    # batch 1: 3.25 vs 3.76 ms; 16: 9.26 vs 11.90; 64: 29.9 vs 41.0
+    # (an eval XPlane profile shows 9.1 ms/step of kernel time at batch 64
+    # vs ~2 ms of ideal attention FLOPs: grid-program overhead). The kernels
+    # stay parity-tested and selectable for larger-sequence configs where
+    # VMEM-resident scores pay off.
+    use_pallas_attention: bool = False
     # Dispatch the Pallas kernels in TRAINING steps too (in-kernel dropout +
     # fused backward). Parity-tested and available, but measured 10.5% SLOWER
     # than XLA at the flagship shapes on v5e (40.2 vs 35.9 ms/step, batch 16,
     # 128+100 tokens: per-(batch,head) programs are too small to beat XLA's
     # batched fusions, and the fused backward recomputes scores) — so off by
-    # default; eval/serving keeps the kernel win.
+    # default.
     pallas_attention_training: bool = False
     # Rematerialise encoder layers to trade FLOPs for HBM
     remat: bool = False
