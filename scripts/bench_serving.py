@@ -41,8 +41,11 @@ def main() -> int:
     eval_step = jax.jit(make_eval_step(model))
     quant_step = jax.jit(make_quant_eval_step(model))
 
+    batches = tuple(
+        int(b) for b in os.environ.get("SERVING_BATCHES", "1,16,64").split(",")
+    )
     params = quant = None
-    for bs in (1, 16, 64):
+    for bs in batches:
         batch = dummy_batch(cfg, bs, 128, 100)
         rng = np.random.default_rng(0)
         batch["visual_features"] = jnp.asarray(
