@@ -41,6 +41,21 @@ def main(argv=None) -> int:
     plots_p.add_argument("--out", default=None,
                          help="output dir (default <root>/plots)")
 
+    serve_p = sub.add_parser(
+        "serve", help="online inference server (micro-batching HTTP) over a "
+                      "trained checkpoint")
+    serve_p.add_argument("--variant", default="lmdb",
+                         help="config variant (feature source + model block)")
+    serve_p.add_argument("--root", default=".", help="project root")
+    serve_p.add_argument("--host", default="127.0.0.1")
+    serve_p.add_argument("--port", type=int, default=8000)
+    serve_p.add_argument("--batch-size", type=int, default=16,
+                         help="compiled micro-batch size")
+    serve_p.add_argument("--linger-ms", type=float, default=5.0,
+                         help="micro-batch aggregation window")
+    serve_p.add_argument("--int8", action="store_true",
+                         help="int8 MXU serving path (throughput configs)")
+
     args = parser.parse_args(argv)
     from multimodal_classification_tpu.utils.logging import setup_logging
 
@@ -69,6 +84,44 @@ def main(argv=None) -> int:
         return 0
 
     from multimodal_classification_tpu.config import default_parameter_paths, load_parameters
+
+    if args.command == "serve":
+        from multimodal_classification_tpu.config import experiment_from_parameters
+        from multimodal_classification_tpu.pipelines.base import (
+            build_model_and_params,
+            make_feature_store,
+        )
+        from multimodal_classification_tpu.data import load_tokenizer
+        from multimodal_classification_tpu.serving import InferenceServer, ServingModel
+        from multimodal_classification_tpu.training.train import Trainer
+
+        params = load_parameters(*default_parameter_paths(args.root))
+        ex = experiment_from_parameters(params, args.variant)
+        model, params_tree = build_model_and_params(ex, args.root)
+        trainer = Trainer(model, ex,
+                          checkpoint_dir=os.path.join(args.root, ex.output_dir))
+        if trainer.ckpt.exists("best"):
+            params_tree = trainer.ckpt.restore("best")["params"]
+            logging.getLogger(__name__).info("loaded 'best' checkpoint")
+        store = make_feature_store(args.variant, ex, args.root)
+        vocab = ex.data.tokenizer_vocab
+        if vocab and not os.path.isabs(vocab):
+            vocab = os.path.join(args.root, vocab)
+        serving = ServingModel(
+            model, params_tree, load_tokenizer(vocab, ex.data.lowercase), store,
+            max_seq_length=ex.data.max_seq_length,
+            num_regions=getattr(store, "num_regions", ex.data.max_regions),
+            feature_dim=getattr(store, "feature_dim", ex.data.visual_feature_dim),
+            batch_size=args.batch_size,
+            int8=args.int8 or ex.serving_int8,
+            int8_min_dim=ex.serving_int8_min_dim,
+        )
+        serving.warmup()
+        server = InferenceServer(serving, args.host, args.port,
+                                 linger_ms=args.linger_ms)
+        server.serve_forever()
+        return 0
+
     from multimodal_classification_tpu.registry import get_pipeline
     from multimodal_classification_tpu.utils.tracking import Tracker
 

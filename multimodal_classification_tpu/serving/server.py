@@ -1,0 +1,271 @@
+"""Serving runtime: micro-batching HTTP inference over the jitted eval step.
+
+The reference's closest surface is the offline ``run_inference`` Kedro node
+(reference: pipelines/model_training/nodes.py:967-1009 — a DataFrame sweep);
+it has no online serving story. This is the TPU deployment path:
+
+- ONE compiled program: requests are padded into a fixed ``[B, ...]`` batch
+  (XLA static shapes — no per-request recompiles) and masked out on the way
+  back; weights stay resident.
+- Host work stays native: WordPiece tokenization (the C++ batch kernel via
+  ``data/tokenizer.py``) and feature lookup from any ``FeatureStore``
+  (LMDB / HDF5 / extractor-backed), with the reference's zero-feature
+  fallback for unknown ids (lmdb_dataset.py:149-153).
+- Micro-batching: concurrent requests within a linger window share one MXU
+  dispatch (queue + batcher thread, futures per request).
+- Optional int8 MXU path (``ops/quant.py``) — the serving-throughput config.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class ServingModel:
+    """Fixed-shape batched predictor over a trained ViLBERT.
+
+    ``predict`` accepts up to ``batch_size`` instances, pads to the compiled
+    shape, and returns ``[n, 2]`` softmax probabilities.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        tokenizer,
+        store=None,
+        *,
+        max_seq_length: int = 128,
+        num_regions: int = 100,
+        feature_dim: int = 2048,
+        batch_size: int = 16,
+        int8: bool = False,
+        int8_min_dim: int = 256,
+    ):
+        from multimodal_classification_tpu.training.train import (
+            make_eval_step,
+            make_quant_eval_step,
+        )
+
+        self.tokenizer = tokenizer
+        self.store = store
+        self.max_seq_length = max_seq_length
+        self.num_regions = num_regions
+        self.feature_dim = feature_dim
+        self.batch_size = batch_size
+        self.params = params
+        if int8:
+            from multimodal_classification_tpu.ops.quant import build_quant_tree
+
+            self._quant = build_quant_tree(params, min_dim=int8_min_dim)
+            self._step = jax.jit(make_quant_eval_step(model))
+        else:
+            self._quant = None
+            self._step = jax.jit(make_eval_step(model))
+
+    def warmup(self):
+        """Compile the eval program before taking traffic."""
+        _ = self.predict(["warmup"])
+
+    def _features_for(self, inst: Dict[str, Any]):
+        if inst.get("features") is not None:
+            feats = np.asarray(inst["features"], np.float32)
+            spatial = np.asarray(
+                inst.get("spatial", np.zeros((len(feats), 5), np.float32)), np.float32
+            )
+        elif self.store is not None and inst.get("id") is not None:
+            got = self.store.get(str(inst["id"]))
+            if got is None:
+                feats = spatial = None
+            else:
+                feats, spatial = np.asarray(got[0], np.float32), np.asarray(got[1], np.float32)
+        else:
+            feats = spatial = None
+        r, d = self.num_regions, self.feature_dim
+        out_f = np.zeros((r, d), np.float32)
+        out_s = np.zeros((r, 5), np.float32)
+        mask = np.zeros(r, np.float32)
+        if feats is None:
+            # zero-feature fallback, mask kept all-ones like the reference's
+            # datasets (they attend over zero features for missing ids)
+            mask[:] = 1.0
+            return out_f, out_s, mask
+        n = min(len(feats), r)
+        out_f[:n] = feats[:n, :d]
+        out_s[:n] = spatial[:n, :5]
+        mask[:n] = 1.0
+        return out_f, out_s, mask
+
+    def predict(self, texts: Sequence[str],
+                instances: Optional[Sequence[Dict[str, Any]]] = None) -> np.ndarray:
+        n = len(texts)
+        if n == 0:
+            return np.zeros((0, 2), np.float32)
+        if n > self.batch_size:
+            raise ValueError(f"batch of {n} exceeds compiled size {self.batch_size}")
+        instances = instances or [{} for _ in texts]
+        ids_, mask_, type_ = self.tokenizer.encode_batch(texts, self.max_seq_length)
+        trip = [self._features_for(inst) for inst in instances]
+        feats = np.stack([t[0] for t in trip])
+        spatial = np.stack([t[1] for t in trip])
+        vmask = np.stack([t[2] for t in trip])
+
+        def pad(x):
+            if n == self.batch_size:
+                return x
+            reps = [(0, self.batch_size - n)] + [(0, 0)] * (x.ndim - 1)
+            return np.pad(x, reps)
+
+        batch = {
+            "input_ids": jnp.asarray(pad(ids_)),
+            "attention_mask": jnp.asarray(pad(mask_)),
+            "token_type_ids": jnp.asarray(pad(type_)),
+            "visual_features": jnp.asarray(pad(feats)),
+            "visual_attention_mask": jnp.asarray(pad(vmask)),
+            "spatial_locations": jnp.asarray(pad(spatial)),
+        }
+        if self._quant is not None:
+            logits = self._step(self.params, self._quant, batch)
+        else:
+            logits = self._step(self.params, batch)
+        logits = np.asarray(logits)[:n]
+        z = logits - logits.max(-1, keepdims=True)
+        p = np.exp(z)
+        return (p / p.sum(-1, keepdims=True)).astype(np.float32)
+
+
+class _MicroBatcher:
+    """Collect requests for up to ``linger_ms`` (or until the compiled batch
+    is full) and resolve them with one model dispatch."""
+
+    def __init__(self, serving: ServingModel, linger_ms: float = 5.0):
+        self.serving = serving
+        self.linger_s = linger_ms / 1000.0
+        self.q: "queue.Queue" = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "max_batch": 0}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, instance: Dict[str, Any]) -> Future:
+        fut: Future = Future()
+        self.q.put((instance, fut))
+        return fut
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            items = [first]
+            deadline = threading.Event()
+            deadline.wait(self.linger_s)  # linger for co-arriving requests
+            while len(items) < self.serving.batch_size:
+                try:
+                    items.append(self.q.get_nowait())
+                except queue.Empty:
+                    break
+            insts = [i for i, _ in items]
+            futs = [f for _, f in items]
+            self.stats["requests"] += len(items)
+            self.stats["batches"] += 1
+            self.stats["max_batch"] = max(self.stats["max_batch"], len(items))
+            try:
+                probs = self.serving.predict(
+                    [str(i.get("text", "")) for i in insts], insts
+                )
+                for f, p in zip(futs, probs):
+                    f.set_result({
+                        "probability": float(p[1]),
+                        "prediction": int(np.argmax(p)),
+                    })
+            except Exception as e:  # pragma: no cover - surfaced to client
+                logger.exception("batch failed")
+                for f in futs:
+                    if not f.done():
+                        f.set_exception(e)
+
+
+class InferenceServer:
+    """HTTP front:  POST /predict  {"text": ..., "id"?, "features"?, "spatial"?}
+    → {"probability", "prediction"};  POST /predict_batch {"instances": [...]};
+    GET /healthz → stats."""
+
+    def __init__(self, serving: ServingModel, host: str = "127.0.0.1",
+                 port: int = 8000, linger_ms: float = 5.0):
+        self.batcher = _MicroBatcher(serving, linger_ms)
+        batcher = self.batcher
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, {"status": "ok", **batcher.stats})
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                except Exception:
+                    return self._send(400, {"error": "bad json"})
+                try:
+                    if self.path == "/predict":
+                        return self._send(200, batcher.submit(payload).result(30))
+                    if self.path == "/predict_batch":
+                        futs = [batcher.submit(i)
+                                for i in payload.get("instances", [])]
+                        return self._send(200, [f.result(30) for f in futs])
+                except Exception as e:
+                    return self._send(500, {"error": str(e)})
+                self._send(404, {"error": "not found"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self):
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def serve_forever(self):
+        logger.info("serving on port %d", self.port)
+        self.httpd.serve_forever()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.close()
+        if self._thread:
+            self._thread.join(timeout=5)

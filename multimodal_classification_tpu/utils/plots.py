@@ -120,6 +120,61 @@ def generate_plots(mlruns_root: str = "mlruns", out_dir: str = "plots") -> List[
     fig.savefig(p, dpi=120)
     plt.close(fig)
     written.append(p)
+
+    # train/val loss, top-2 models (reference: plot_training_loss_separate,
+    # generate_plots.py:234 — solid=train, dashed=val, one color per model)
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for i, n in enumerate(names[:2]):
+        r = best[n]
+        color = f"C{i}"
+        if r["train_loss"]:
+            ax.plot(r["train_loss"], color=color, ls="-", label=f"{n} (train)")
+        if r["val_loss"]:
+            ax.plot(r["val_loss"], color=color, ls="--", label=f"{n} (val)")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("loss")
+    ax.set_title("Training and validation loss (top 2 models)")
+    ax.legend()
+    fig.tight_layout()
+    p = os.path.join(out_dir, "training_loss.png")
+    fig.savefig(p, dpi=120)
+    plt.close(fig)
+    written.append(p)
+
+    # ablation comparison: base pipeline vs its ablation variants
+    # (reference hard-codes its freeze/tuning results, generate_plots.py:341,
+    # :419; here the same figure derives from the mlruns data)
+    suffixes = ("_freeze6", "_focal", "_b32")
+    groups: Dict[str, Dict[str, float]] = {}
+    for n in names:
+        base = n
+        label = "base"
+        for s in suffixes:
+            if n.endswith(s):
+                base, label = n[: -len(s)], s[1:]
+                break
+        groups.setdefault(base, {})[label] = best[n]["best_auroc"]
+    groups = {b: v for b, v in groups.items() if len(v) > 1}
+    if groups:
+        labels = ["base"] + [s[1:] for s in suffixes]
+        bases = sorted(groups)
+        width = 0.8 / len(labels)
+        fig, ax = plt.subplots(figsize=(max(6, len(bases) * 1.6), 4.5))
+        for j, lab in enumerate(labels):
+            xs = [i + (j - len(labels) / 2) * width for i in range(len(bases))]
+            ys = [groups[b].get(lab) for b in bases]
+            ax.bar([x for x, y in zip(xs, ys) if y is not None],
+                   [y for y in ys if y is not None], width, label=lab)
+        ax.set_xticks(range(len(bases)))
+        ax.set_xticklabels(bases, rotation=20, ha="right")
+        ax.set_ylabel("best val AUROC")
+        ax.set_title("Ablation comparison (freeze-6 / focal / batch-32)")
+        ax.legend()
+        fig.tight_layout()
+        p = os.path.join(out_dir, "ablation_comparison.png")
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(p)
     return written
 
 

@@ -1,0 +1,137 @@
+"""Online serving runtime (serving/server.py): fixed-shape batched predictor
+parity with the raw eval step, micro-batching over HTTP, zero-feature
+fallback for unknown ids. No reference counterpart (its closest surface is
+the offline run_inference node, nodes.py:967-1009)."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from multimodal_classification_tpu.config import tiny_vilbert_config
+from multimodal_classification_tpu.data import (
+    DictFeatureStore,
+    WordPieceTokenizer,
+    build_test_vocab,
+)
+from multimodal_classification_tpu.models.vilbert import (
+    ViLBERTForClassification,
+    dummy_batch,
+)
+from multimodal_classification_tpu.serving import InferenceServer, ServingModel
+from multimodal_classification_tpu.training.train import make_eval_step, model_inputs
+
+
+@pytest.fixture(scope="module")
+def serving():
+    cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False,
+                              v_feature_size=32)
+    model = ViLBERTForClassification(cfg)
+    b = dummy_batch(cfg, 1, 12, 6)
+    params = model.init(jax.random.key(0), **model_inputs(b))["params"]
+    rng = np.random.default_rng(0)
+    store = DictFeatureStore(
+        {"42": rng.standard_normal((6, 32)).astype(np.float32)},
+        {"42": rng.uniform(0, 1, (6, 5)).astype(np.float32)},
+    )
+    tok = WordPieceTokenizer(build_test_vocab())
+    sm = ServingModel(model, params, tok, store, max_seq_length=12,
+                      num_regions=6, feature_dim=32, batch_size=4)
+    return cfg, model, params, store, tok, sm
+
+
+def test_predict_matches_raw_eval_step(serving):
+    cfg, model, params, store, tok, sm = serving
+    probs = sm.predict(["this is a hateful meme", "love"],
+                       [{"id": "42"}, {"id": "42"}])
+    assert probs.shape == (2, 2)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+    # reproduce by hand through the plain eval step
+    ids, mask, types = tok.encode_batch(
+        ["this is a hateful meme", "love"], 12)
+    feats, spatial = store.get("42")
+    batch = {
+        "input_ids": np.pad(ids, ((0, 2), (0, 0))),
+        "attention_mask": np.pad(mask, ((0, 2), (0, 0))),
+        "token_type_ids": np.pad(types, ((0, 2), (0, 0))),
+        "visual_features": np.pad(
+            np.stack([feats, feats]), ((0, 2), (0, 0), (0, 0))),
+        "visual_attention_mask": np.pad(np.ones((2, 6), np.float32), ((0, 2), (0, 0))),
+        "spatial_locations": np.pad(np.stack([spatial, spatial]), ((0, 2), (0, 0), (0, 0))),
+    }
+    logits = np.asarray(jax.jit(make_eval_step(model))(params, batch))[:2]
+    z = logits - logits.max(-1, keepdims=True)
+    ref = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
+    np.testing.assert_allclose(probs, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_unknown_id_zero_feature_fallback(serving):
+    *_, sm = serving
+    probs = sm.predict(["meme"], [{"id": "missing"}])
+    assert np.isfinite(probs).all() and probs.shape == (1, 2)
+
+
+def test_inline_features_instance(serving):
+    *_, sm = serving
+    rng = np.random.default_rng(1)
+    probs = sm.predict(["a meme"], [{
+        "features": rng.standard_normal((6, 32)).tolist(),
+        "spatial": rng.uniform(0, 1, (6, 5)).tolist(),
+    }])
+    assert np.isfinite(probs).all()
+
+
+def test_http_server_microbatches_concurrent_requests(serving):
+    *_, sm = serving
+    server = InferenceServer(sm, port=0, linger_ms=150.0)
+    server.start()
+    try:
+        url = f"http://127.0.0.1:{server.port}"
+
+        with urllib.request.urlopen(f"{url}/healthz", timeout=10) as r:
+            assert json.load(r)["status"] == "ok"
+
+        results, errs = [], []
+        barrier = threading.Barrier(3)
+
+        def hit():
+            try:
+                barrier.wait(10)
+                req = urllib.request.Request(
+                    f"{url}/predict",
+                    data=json.dumps({"text": "hateful meme", "id": "42"}).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    results.append(json.load(r))
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=hit) for _ in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(30)
+        assert not errs and len(results) == 3
+        p0 = results[0]
+        assert all(abs(r["probability"] - p0["probability"]) < 1e-6 for r in results)
+        assert {r["prediction"] for r in results} == {p0["prediction"]}
+        # the barrier + 150 ms linger means at least one dispatch batched >1
+        assert server.batcher.stats["max_batch"] >= 2
+
+        # batch endpoint
+        req = urllib.request.Request(
+            f"{url}/predict_batch",
+            data=json.dumps({"instances": [
+                {"text": "a", "id": "42"}, {"text": "b", "id": "missing"}]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = json.load(r)
+        assert len(out) == 2 and all("probability" in o for o in out)
+    finally:
+        server.stop()

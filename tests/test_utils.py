@@ -47,23 +47,29 @@ class TestPlots:
         t = Tracker(root=str(root), experiment="e")
         for name, aurocs in (("vilbert_lmdb", [0.6, 0.7, 0.75]),
                              ("vilbert_lmdb", [0.5, 0.6]),
+                             ("vilbert_lmdb_freeze6", [0.6, 0.74]),
                              ("vilbert_dinov2", [0.65, 0.7])):
             t.start_run(name)
             for i, a in enumerate(aurocs, 1):
-                t.log_metrics({"val_auroc": a, "train_loss": 1.0 / i}, step=i)
+                t.log_metrics({"val_auroc": a, "train_loss": 1.0 / i,
+                               "val_loss": 1.1 / i}, step=i)
             t.end_run()
 
     def test_collect_and_best(self, tmp_path):
         self._fake_runs(tmp_path / "mlruns")
         runs = collect_runs(str(tmp_path / "mlruns"))
-        assert len(runs) == 3
+        assert len(runs) == 4
         best = best_run_per_model(runs)
         assert best["vilbert_lmdb"]["final_auroc"] == 0.75
 
     def test_generate_plots_writes_pngs(self, tmp_path):
         self._fake_runs(tmp_path / "mlruns")
         written = generate_plots(str(tmp_path / "mlruns"), str(tmp_path / "plots"))
-        assert len(written) == 2
+        names = {os.path.basename(p) for p in written}
+        # comparison + curves + separate-loss + ablation (the reference's
+        # generate_plots figure families, data-driven here)
+        assert names == {"model_comparison.png", "training_curves.png",
+                         "training_loss.png", "ablation_comparison.png"}
         for p in written:
             assert os.path.getsize(p) > 1000
 

@@ -134,3 +134,15 @@ class TestForward:
         )
         n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
         assert 200e6 < n < 320e6, f"param count {n:,}"
+
+
+def test_attention_impl_defaults_are_xla():
+    """Perf policy pinned by measurement (see docs/ARCHITECTURE.md "Pallas
+    attention: measured and defaulted off"): XLA attention is the default
+    for BOTH training and eval at the flagship shapes; the Pallas kernels
+    are opt-in for longer-sequence configs."""
+    from multimodal_classification_tpu.config import facebook_vilbert_config
+
+    cfg = facebook_vilbert_config()
+    assert cfg.use_pallas_attention is False
+    assert cfg.pallas_attention_training is False
