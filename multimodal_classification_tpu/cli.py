@@ -56,6 +56,11 @@ def main(argv=None) -> int:
     serve_p.add_argument("--int8", action="store_true",
                          help="int8 MXU serving path (throughput configs)")
 
+    bench_p = sub.add_parser(
+        "bench", help="run a benchmark: train (bench.py), serving, extraction")
+    bench_p.add_argument("what", choices=["train", "serving", "extraction"],
+                         nargs="?", default="train")
+
     args = parser.parse_args(argv)
     from multimodal_classification_tpu.utils.logging import setup_logging
 
@@ -81,6 +86,21 @@ def main(argv=None) -> int:
             out_dir=args.out or os.path.join(args.root, "plots"),
         )
         print("\n".join(written))
+        return 0
+
+    if args.command == "bench":
+        import runpy
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        script = {
+            "train": os.path.join(repo, "bench.py"),
+            "serving": os.path.join(repo, "scripts", "bench_serving.py"),
+            "extraction": os.path.join(repo, "scripts", "bench_extraction.py"),
+        }[args.what]
+        if not os.path.exists(script):
+            parser.error(f"benchmark script not found: {script} "
+                         "(bench scripts live in the source checkout)")
+        runpy.run_path(script, run_name="__main__")
         return 0
 
     from multimodal_classification_tpu.config import default_parameter_paths, load_parameters
