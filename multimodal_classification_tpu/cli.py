@@ -30,6 +30,13 @@ def main(argv=None) -> int:
              "checkpoint (written per epoch, on SIGTERM preemption, and at "
              "the final epoch)",
     )
+    run_p.add_argument(
+        "--variant", default=None,
+        help="override the config variant for validate/inference pipelines "
+             "(the reference hardwires them to the default resnet feature "
+             "source; e.g. --pipeline=vilbert_validate --variant lmdb "
+             "evaluates an lmdb-trained checkpoint with lmdb features)",
+    )
 
     list_p = sub.add_parser("list", help="list pipelines / models / extractors")
     list_p.add_argument("what", choices=["pipelines", "models", "extractors"])
@@ -148,6 +155,13 @@ def main(argv=None) -> int:
     paths = args.params if args.params else default_parameter_paths(args.root)
     params = load_parameters(*paths)
     pipeline = get_pipeline(args.pipeline)
+    if args.variant is not None:
+        import functools
+
+        if not isinstance(pipeline, functools.partial):
+            parser.error(f"--variant is not supported by pipeline {args.pipeline}")
+        pipeline = functools.partial(pipeline.func, args.variant,
+                                     **pipeline.keywords)
     tracker = Tracker(root=f"{args.root}/mlruns", experiment=args.experiment)
     if args.pipeline == "data_processing":
         result = pipeline(params, root=args.root)

@@ -44,9 +44,13 @@ def main() -> int:
     batches = tuple(
         int(b) for b in os.environ.get("SERVING_BATCHES", "1,16,64").split(",")
     )
+    # text length: 128 is the reference's padded cap; real meme texts are
+    # 12-25 tokens, so deployments compile at a bucket (masked attention --
+    # identical function on real tokens, exactness-tested for training)
+    seq = int(os.environ.get("SERVING_SEQ", "128"))
     params = quant = None
     for bs in batches:
-        batch = dummy_batch(cfg, bs, 128, 100)
+        batch = dummy_batch(cfg, bs, seq, 100)
         rng = np.random.default_rng(0)
         batch["visual_features"] = jnp.asarray(
             rng.standard_normal(batch["visual_features"].shape), jnp.bfloat16
@@ -71,6 +75,7 @@ def main() -> int:
             dt = time.perf_counter() - t0
             print(json.dumps({
                 "path": name,
+                "seq": seq,
                 "batch_size": bs,
                 "latency_ms": round(dt / n * 1000, 2),
                 "memes_per_sec": round(n * bs / dt, 1),
