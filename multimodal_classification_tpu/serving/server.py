@@ -14,6 +14,10 @@ it has no online serving story. This is the TPU deployment path:
 - Micro-batching: concurrent requests within a linger window share one MXU
   dispatch (queue + batcher thread, futures per request).
 - Optional int8 MXU path (``ops/quant.py``) — the serving-throughput config.
+
+The HTTP front is unauthenticated and binds 127.0.0.1 by default: it is a
+model-server for a trusted network segment (put auth/TLS at the gateway),
+not an internet-facing endpoint.
 """
 
 from __future__ import annotations

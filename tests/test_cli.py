@@ -43,3 +43,32 @@ def test_resume_flag_rejected_for_non_training_pipeline(tmp_path):
     with pytest.raises(SystemExit):
         main(["run", "--pipeline=vilbert_inference", "--resume",
               "--root", str(tmp_path)])
+
+
+def test_variant_flag_rebinds_pipeline(tmp_path, monkeypatch):
+    from functools import partial
+
+    from multimodal_classification_tpu.registry import PIPELINE_REGISTRY
+
+    seen = {}
+
+    def fake_pipeline(variant, params, root=".", tracker=None):
+        seen["variant"] = variant
+        return {}
+
+    monkeypatch.setitem(PIPELINE_REGISTRY, "fake_validate",
+                        partial(fake_pipeline, ""))
+    (tmp_path / "conf/base").mkdir(parents=True)
+    (tmp_path / "conf/base/parameters.yml").write_text("{}")
+    assert main(["run", "--pipeline=fake_validate", "--variant", "lmdb",
+                 "--root", str(tmp_path)]) == 0
+    assert seen["variant"] == "lmdb"
+
+
+def test_variant_flag_rejected_for_non_partial(tmp_path, monkeypatch):
+    from multimodal_classification_tpu.registry import PIPELINE_REGISTRY
+
+    monkeypatch.setitem(PIPELINE_REGISTRY, "fake_plain", lambda params, root=".": {})
+    with pytest.raises(SystemExit):
+        main(["run", "--pipeline=fake_plain", "--variant", "x",
+              "--root", str(tmp_path)])
