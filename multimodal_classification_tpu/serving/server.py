@@ -179,8 +179,7 @@ class _MicroBatcher:
             except queue.Empty:
                 continue
             items = [first]
-            deadline = threading.Event()
-            deadline.wait(self.linger_s)  # linger for co-arriving requests
+            self._stop.wait(self.linger_s)  # linger for co-arriving requests
             while len(items) < self.serving.batch_size:
                 try:
                     items.append(self.q.get_nowait())

@@ -33,6 +33,43 @@ DEFAULT_SPECS = [
 ]
 
 
+def bench_blip_caption(bs: int = 8):
+    """Native BLIP greedy captioning (data/augment.py CES enrichment path,
+    models/blip.py): the reference runs BLIP per image through transformers
+    on its GPU with no published timing."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodal_classification_tpu.models.blip import BlipForCaptioning
+
+    m = BlipForCaptioning()
+    params = m.init_params(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(
+        -1, 1, (bs, m.cfg.image_size, m.cfg.image_size, 3)).astype(np.float32))
+    t0 = time.perf_counter()
+    ids = m.generate_greedy(params, imgs, max_length=24)
+    _ = int(ids[0, 1])
+    compile_s = time.perf_counter() - t0
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        ids = m.generate_greedy(params, imgs, max_length=24)
+    _ = int(ids[0, 1])
+    dt = time.perf_counter() - t0
+    return {
+        "extractor": "blip_caption",
+        "batch_size": bs,
+        "image_size": m.cfg.image_size,
+        "ms_per_image": round(dt / (n * bs) * 1000, 2),
+        "images_per_sec": round(n * bs / dt, 1),
+        "first_call_s": round(compile_s, 1),
+    }
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -45,6 +82,9 @@ def main() -> int:
     specs = [s for s in DEFAULT_SPECS if not names or s[0] in names]
     dev = jax.devices()[0]
     print(f"extraction bench on {dev.platform}:{dev.device_kind}", file=sys.stderr)
+
+    if not names or "blip_caption" in names:
+        print(json.dumps(bench_blip_caption()), flush=True)
 
     for name, kwargs, bs in specs:
         ex = get_feature_extractor(name, **kwargs)
