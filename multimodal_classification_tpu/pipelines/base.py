@@ -314,7 +314,8 @@ def run_validation_pipeline(
     if store is None:
         store = make_feature_store(variant, ex, root)
     datasets = build_datasets(splits, ex, store, tokenizer, root)
-    loader = BatchLoader(datasets["test"], ex.training.batch_size)
+    loader = BatchLoader(datasets["test"], ex.training.batch_size,
+                         text_bucket_multiple=ex.data.text_bucket_multiple)
     model, params_tree = build_model_and_params(ex, root)
     trainer = Trainer(model, ex, tracker=tracker,
                       checkpoint_dir=os.path.join(root, ex.output_dir))
@@ -356,7 +357,8 @@ def run_inference_pipeline(
         store = make_feature_store(variant, ex, root)
     datasets = build_datasets(splits, ex, store, tokenizer, root)
     ds = datasets["test"]
-    loader = BatchLoader(ds, ex.training.batch_size)
+    loader = BatchLoader(ds, ex.training.batch_size,
+                         text_bucket_multiple=ex.data.text_bucket_multiple)
     model, params_tree = build_model_and_params(ex, root)
     trainer = Trainer(model, ex, checkpoint_dir=os.path.join(root, ex.output_dir))
     if use_local_checkpoint and trainer.ckpt.exists("best"):
