@@ -40,9 +40,17 @@ def maybe_fused_attention(
         return None
     from multimodal_classification_tpu.ops.pallas_kernels import attention as attn_k
 
-    if not attn_k.supports(q, k, v, bias):
-        return None
-    return lambda: attn_k.fused_attention(q, k, v, bias, dropout_rate, dropout_rng)
+    if attn_k.supports(q, k, v, bias):
+        return lambda: attn_k.fused_attention(q, k, v, bias, dropout_rate, dropout_rng)
+
+    # Beyond the resident kernel's MAX_SEQ, the flash-style tiling takes over
+    # (measured: the resident kernel already beats XLA at seq 512; flash lifts
+    # the ceiling to MAX_SEQ=8192 for long-sequence configs).
+    from multimodal_classification_tpu.ops.pallas_kernels import flash_attention as flash_k
+
+    if flash_k.supports(q, k, v, bias):
+        return lambda: flash_k.flash_attention(q, k, v, bias, dropout_rate, dropout_rng)
+    return None
 
 
 def maybe_fused_bi_attention(
