@@ -127,7 +127,7 @@ class JaxImageCaptioner:
                     (cfg.image_size, cfg.image_size))) for a in arrs]),
                 cfg.image_size,
             )
-            ids = np.asarray(self._model.generate_greedy(
+            ids = np.asarray(self._model.generate_greedy_cached(
                 self._params, imgs, max_length=max_length))
             for row in ids[:n_real]:
                 captions.append(decode_caption_ids(

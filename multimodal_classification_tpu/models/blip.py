@@ -205,6 +205,145 @@ class BlipTextDecoder(nn.Module):
         return logits
 
 
+class _CachedSelfAttention(nn.Module):
+    """Single-token self-attention against an incrementally-filled KV cache.
+
+    Declares the same "query"/"key"/"value" denses as ``SelfAttention`` so it
+    binds the identical param paths (a second *view* of the same weights —
+    flax ignores unread tree entries)."""
+
+    hidden_size: int
+    num_heads: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, hidden, kcache, vcache, pos):
+        from multimodal_classification_tpu.ops.attention import (
+            attention_core, merge_heads, split_heads)
+
+        q = make_dense(self.hidden_size, self.dtype, "query")(hidden)   # [B,1,W]
+        k = make_dense(self.hidden_size, self.dtype, "key")(hidden)
+        v = make_dense(self.hidden_size, self.dtype, "value")(hidden)
+        kcache = jax.lax.dynamic_update_slice(
+            kcache, split_heads(k, self.num_heads).astype(kcache.dtype), (0, 0, pos, 0))
+        vcache = jax.lax.dynamic_update_slice(
+            vcache, split_heads(v, self.num_heads).astype(vcache.dtype), (0, 0, pos, 0))
+        L = kcache.shape[2]
+        bias = jnp.where(jnp.arange(L) <= pos, 0.0, NEG_INF)[None, None, None, :]
+        ctx = attention_core(split_heads(q, self.num_heads), kcache, vcache,
+                             bias, impl="xla")
+        return merge_heads(ctx), kcache, vcache
+
+
+class _CachedCrossQuery(nn.Module):
+    """Cross-attention with precomputed K/V; binds only the "query" dense of
+    the ``crossattention`` scope."""
+
+    hidden_size: int
+    num_heads: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, hidden, cross_k, cross_v):
+        from multimodal_classification_tpu.ops.attention import (
+            attention_core, merge_heads, split_heads)
+
+        q = make_dense(self.hidden_size, self.dtype, "query")(hidden)
+        ctx = attention_core(split_heads(q, self.num_heads), cross_k, cross_v,
+                             None, impl="xla")
+        return merge_heads(ctx)
+
+
+class _CachedDecoderLayer(nn.Module):
+    cfg: BlipConfig
+
+    @nn.compact
+    def __call__(self, hidden, kcache, vcache, pos, cross_k, cross_v):
+        cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
+        ctx, kcache, vcache = _CachedSelfAttention(
+            cfg.hidden_size, cfg.num_heads, dt, name="attention")(
+            hidden, kcache, vcache, pos)
+        hidden = ResidualOutput(cfg.hidden_size, 0.0, dt, name="attention_output")(
+            ctx, hidden, True)
+        xctx = _CachedCrossQuery(cfg.hidden_size, cfg.num_heads, dt,
+                                 name="crossattention")(hidden, cross_k, cross_v)
+        hidden = ResidualOutput(cfg.hidden_size, 0.0, dt, name="cross_output")(
+            xctx, hidden, True)
+        inter = Intermediate(cfg.intermediate_size, dt, name="intermediate")(hidden)
+        return ResidualOutput(cfg.hidden_size, 0.0, dt, name="output")(
+            inter, hidden, True), kcache, vcache
+
+
+class _CrossKVLayer(nn.Module):
+    cfg: BlipConfig
+
+    @nn.compact
+    def __call__(self, enc):
+        from multimodal_classification_tpu.ops.attention import split_heads
+
+        cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
+
+        class _KV(nn.Module):
+            @nn.compact
+            def __call__(self_inner, enc):
+                k = make_dense(cfg.hidden_size, dt, "key")(enc)
+                v = make_dense(cfg.hidden_size, dt, "value")(enc)
+                return (split_heads(k, cfg.num_heads), split_heads(v, cfg.num_heads))
+
+        return _KV(name="crossattention")(enc)
+
+
+class BlipCrossKV(nn.Module):
+    """Precompute every layer's cross-attention K/V over the vision tokens
+    (done once per image instead of once per decode step)."""
+
+    cfg: BlipConfig
+
+    @nn.compact
+    def __call__(self, enc):
+        ks, vs = [], []
+        for i in range(self.cfg.num_layers):
+            k, v = _CrossKVLayer(self.cfg, name=f"layer_{i}")(enc)
+            ks.append(k)
+            vs.append(v)
+        return jnp.stack(ks), jnp.stack(vs)   # [nl, B, H, N, D]
+
+
+class BlipCachedStep(nn.Module):
+    """One decode step: token at ``pos`` → logits for ``pos+1``; self-attn
+    K/V caches are updated in place (functionally)."""
+
+    cfg: BlipConfig
+
+    @nn.compact
+    def __call__(self, token, pos, kcaches, vcaches, cross_ks, cross_vs):
+        cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size, param_dtype=jnp.float32,
+                        name="word_embeddings")(token[:, None])
+        pos_emb = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                           param_dtype=jnp.float32, name="position_embeddings")(
+            jnp.full((1, 1), pos, jnp.int32))
+        hidden = make_layernorm("emb_LayerNorm")(
+            (word + pos_emb).astype(jnp.float32)).astype(dt)
+
+        new_k, new_v = [], []
+        for i in range(cfg.num_layers):
+            hidden, kc, vc = _CachedDecoderLayer(cfg, name=f"layer_{i}")(
+                hidden, kcaches[i], vcaches[i], pos, cross_ks[i], cross_vs[i])
+            new_k.append(kc)
+            new_v.append(vc)
+
+        h = make_dense(cfg.hidden_size, dt, "transform_dense")(hidden)
+        h = nn.gelu(h, approximate=False)
+        h = make_layernorm("transform_LayerNorm")(h.astype(jnp.float32)).astype(dt)
+        logits = nn.Dense(cfg.vocab_size, dtype=jnp.float32,
+                          param_dtype=jnp.float32, name="lm_head")(h)
+        return logits[:, 0, :], jnp.stack(new_k), jnp.stack(new_v)
+
+
 class BlipForCaptioning:
     """Vision tower + causal decoder + jitted greedy decode."""
 
@@ -212,7 +351,10 @@ class BlipForCaptioning:
         self.cfg = cfg or BlipConfig()
         self.vision = BlipVisionTower(self.cfg)
         self.decoder = BlipTextDecoder(self.cfg)
+        self._cross_kv = BlipCrossKV(self.cfg)
+        self._step = BlipCachedStep(self.cfg)
         self._generate = None
+        self._generate_cached = None
 
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         r1, r2 = jax.random.split(rng)
@@ -263,6 +405,47 @@ class BlipForCaptioning:
 
         (ids, _fin), _ = jax.lax.scan(
             step, (ids0, finished0), jnp.arange(1, max_length)
+        )
+        return ids
+
+    def generate_greedy_cached(self, params, images: jnp.ndarray,
+                               max_length: int = 24) -> jnp.ndarray:
+        """Same contract/output as :meth:`generate_greedy`, but decoded with
+        KV caches: cross-attention K/V computed once per image, self-attention
+        K/V appended per step — each scan step runs the decoder over ONE token
+        instead of the whole buffer (O(L) total decoder work vs O(L²))."""
+        if self._generate_cached is None:
+            self._generate_cached = jax.jit(self._generate_cached_impl,
+                                            static_argnames=("max_length",))
+        return self._generate_cached(params, images, max_length=max_length)
+
+    def _generate_cached_impl(self, params, images, *, max_length: int):
+        cfg = self.cfg
+        dt = jnp.dtype(cfg.dtype)
+        enc = self.encode(params, images)
+        b = images.shape[0]
+        d = cfg.hidden_size // cfg.num_heads
+        cross_k, cross_v = self._cross_kv.apply({"params": params["text"]}, enc)
+
+        ids0 = jnp.full((b, max_length), cfg.pad_token_id, jnp.int32)
+        ids0 = ids0.at[:, 0].set(cfg.bos_token_id)
+        finished0 = jnp.zeros((b,), bool)
+        kc0 = jnp.zeros((cfg.num_layers, b, cfg.num_heads, max_length, d), dt)
+        vc0 = jnp.zeros_like(kc0)
+
+        def step(carry, t):
+            ids, finished, kc, vc = carry
+            tok = jax.lax.dynamic_index_in_dim(ids, t - 1, axis=1, keepdims=False)
+            logits, kc, vc = self._step.apply(
+                {"params": params["text"]}, tok, t - 1, kc, vc, cross_k, cross_v)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(finished, cfg.pad_token_id, nxt)
+            ids = jax.lax.dynamic_update_slice(ids, nxt[:, None], (0, t))
+            finished = finished | (nxt == cfg.eos_token_id)
+            return (ids, finished, kc, vc), None
+
+        (ids, _fin, _, _), _ = jax.lax.scan(
+            step, (ids0, finished0, kc0, vc0), jnp.arange(1, max_length)
         )
         return ids
 

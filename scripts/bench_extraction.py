@@ -45,25 +45,32 @@ def bench_blip_caption(bs: int = 8):
 
     from multimodal_classification_tpu.models.blip import BlipForCaptioning
 
+    import os
+
     m = BlipForCaptioning()
     params = m.init_params(jax.random.key(0))
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.uniform(
         -1, 1, (bs, m.cfg.image_size, m.cfg.image_size, 3)).astype(np.float32))
+    gen = (m.generate_greedy if os.environ.get("BLIP_NO_KV_CACHE")
+           else m.generate_greedy_cached)
+    max_len = int(os.environ.get("BLIP_MAX_LEN", 24))
     t0 = time.perf_counter()
-    ids = m.generate_greedy(params, imgs, max_length=24)
+    ids = gen(params, imgs, max_length=max_len)
     _ = int(ids[0, 1])
     compile_s = time.perf_counter() - t0
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
-        ids = m.generate_greedy(params, imgs, max_length=24)
+        ids = gen(params, imgs, max_length=max_len)
     _ = int(ids[0, 1])
     dt = time.perf_counter() - t0
     return {
         "extractor": "blip_caption",
         "batch_size": bs,
         "image_size": m.cfg.image_size,
+        "max_length": max_len,
+        "kv_cache": not bool(os.environ.get("BLIP_NO_KV_CACHE")),
         "ms_per_image": round(dt / (n * bs) * 1000, 2),
         "images_per_sec": round(n * bs / dt, 1),
         "first_call_s": round(compile_s, 1),

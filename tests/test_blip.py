@@ -104,3 +104,34 @@ def test_caption_decoding_roundtrip():
     inv = {v: k for k, v in vocab.items()}
     ids = [70, 5, 6, 7, 71, 0, 0]
     assert decode_caption_ids(ids, inv, eos_id=71, special={0, 70, 71}) == "a cats"
+
+
+def test_cached_decode_matches_full_recompute(hf_and_ours, rng):
+    """KV-cache decode (cross-K/V precomputed, self-K/V incremental) emits
+    exactly the same tokens as the full-buffer recompute decode."""
+    hf, ours, params, cfg = hf_and_ours
+    imgs = rng.standard_normal((3, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    full = np.asarray(ours.generate_greedy(params, jnp.asarray(imgs), max_length=10))
+    cached = np.asarray(ours.generate_greedy_cached(params, jnp.asarray(imgs), max_length=10))
+    np.testing.assert_array_equal(full, cached)
+
+
+def test_cached_step_logits_match_decoder(hf_and_ours, rng):
+    """Per-token cached-step logits agree with the full decoder's logits at
+    every position (same params, two module views)."""
+    hf, ours, params, cfg = hf_and_ours
+    imgs = rng.standard_normal((2, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    ids = jnp.asarray(np.array([[70, 5, 9, 12], [70, 3, 2, 8]]), jnp.int32)
+    enc = ours.encode(params, jnp.asarray(imgs))
+    want = np.asarray(ours.logits(params, ids, enc))  # [B, L, V]
+
+    cross_k, cross_v = ours._cross_kv.apply({"params": params["text"]}, enc)
+    d = cfg.hidden_size // cfg.num_heads
+    L = ids.shape[1]
+    kc = jnp.zeros((cfg.num_layers, 2, cfg.num_heads, L, d), jnp.dtype(cfg.dtype))
+    vc = jnp.zeros_like(kc)
+    for t in range(L):
+        logits, kc, vc = ours._step.apply(
+            {"params": params["text"]}, ids[:, t], t, kc, vc, cross_k, cross_v)
+        np.testing.assert_allclose(np.asarray(logits), want[:, t, :],
+                                   rtol=2e-4, atol=2e-4)
