@@ -21,7 +21,9 @@ def main(argv=None) -> int:
     run_p.add_argument("--root", default=".", help="project root (conf/, data/)")
     run_p.add_argument(
         "--params", nargs="*", default=None,
-        help="parameter YAML paths (default: conf/base + conf/local)",
+        help="parameter YAML paths and/or dotted.key=value overrides "
+             "(default: conf/base + conf/local; e.g. "
+             "--params training_lmdb.learning_rate=3e-5 vilbert.dropout=0.2)",
     )
     run_p.add_argument("--experiment", default="Default", help="tracking experiment name")
     run_p.add_argument(
@@ -152,8 +154,14 @@ def main(argv=None) -> int:
     from multimodal_classification_tpu.registry import get_pipeline
     from multimodal_classification_tpu.utils.tracking import Tracker
 
-    paths = args.params if args.params else default_parameter_paths(args.root)
-    params = load_parameters(*paths)
+    raw = args.params or []
+    overrides = [a for a in raw if "=" in a]
+    paths = [a for a in raw if "=" not in a]
+    params = load_parameters(*(paths or default_parameter_paths(args.root)))
+    if overrides:
+        from multimodal_classification_tpu.config import apply_param_overrides
+
+        apply_param_overrides(params, overrides)
     pipeline = get_pipeline(args.pipeline)
     if args.variant is not None:
         import functools

@@ -286,6 +286,48 @@ def load_parameters(*paths: str) -> Dict[str, Any]:
     return params
 
 
+def _parse_override_scalar(raw: str):
+    """YAML-parse one override value, then rescue numerics YAML 1.1 misses:
+    ``3e-5`` (no dot in the mantissa) resolves to a *string* under pyyaml's
+    float tag, but a CLI user typing a learning rate means the float."""
+    if raw == "":
+        return None
+    value = yaml.safe_load(raw)
+    if isinstance(value, str):
+        try:
+            return int(value)
+        except ValueError:
+            pass
+        try:
+            return float(value)
+        except ValueError:
+            pass
+    return value
+
+
+def apply_param_overrides(params: Dict[str, Any], overrides) -> Dict[str, Any]:
+    """Apply ``dotted.key=value`` overrides onto a parameters dict (the
+    reference's ``kedro run --params key=value`` surface, __main__.py:12-24).
+
+    Values parse as YAML scalars (``lr=3e-5`` → float, ``freeze=true`` →
+    bool, ``name=lmdb`` → str). Dotted paths create intermediate dicts."""
+    for item in overrides:
+        key, _, raw = item.partition("=")
+        if not _ or not key:
+            raise ValueError(f"override must be dotted.key=value, got {item!r}")
+        value = _parse_override_scalar(raw)
+        node = params
+        parts = key.split(".")
+        for p in parts[:-1]:
+            nxt = node.get(p)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[p] = nxt
+            node = nxt
+        node[parts[-1]] = value
+    return params
+
+
 # ablation pipeline variants are "<base>_<axis>" (the reference's regression
 # grid, parameters.yml:592-595 etc.); the base determines the feature source
 # and provides the config-fallback layer between the defaults and the

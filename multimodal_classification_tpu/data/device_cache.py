@@ -285,18 +285,30 @@ def build_sharded_device_data(ds: MemesDataset, mesh, feature_dtype=jnp.bfloat16
 
 
 def sharded_epoch_indices(
-    num_examples: int, dp: int, batch_size: int, epoch: int, seed: int = 42
+    num_examples: int, dp: int, batch_size: int, epoch: int, seed: int = 42,
+    drop_last: bool = True,
 ) -> Iterator[np.ndarray]:
     """Per-device shard-local index batches: [dp, B/dp] int32 where row d
     indexes into shard d (values < num_examples/dp). Shard-then-shuffle —
-    the standard distributed input discipline."""
+    the standard distributed input discipline.
+
+    drop_last=False pads the final partial batch by wrapping to the head of
+    each shard's order (eval callers dedup by global index so wrapped rows
+    never double-count — see Trainer.fit_device_resident eval_metrics)."""
     assert batch_size % dp == 0
     per_dev = batch_size // dp
     shard_n = num_examples // dp
     rng = np.random.default_rng((seed, epoch))
     orders = [rng.permutation(shard_n) for _ in range(dp)]
-    for start in range(0, shard_n - per_dev + 1, per_dev):
-        yield np.stack([o[start : start + per_dev] for o in orders]).astype(np.int32)
+    end = shard_n - (shard_n % per_dev) if drop_last else shard_n
+    for start in range(0, end, per_dev):
+        rows = []
+        for o in orders:
+            chunk = o[start : start + per_dev]
+            if len(chunk) < per_dev:
+                chunk = np.concatenate([chunk, o[: per_dev - len(chunk)]])
+            rows.append(chunk)
+        yield np.stack(rows).astype(np.int32)
 
 
 def _make_local_gather(mesh):

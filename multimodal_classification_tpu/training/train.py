@@ -529,12 +529,13 @@ class Trainer:
 
         def _val_batches(n):
             if dp > 1:
-                yield from sharded_epoch_indices(n, dp, tcfg.batch_size, 0, seed=0)
+                yield from sharded_epoch_indices(n, dp, tcfg.batch_size, 0, seed=0,
+                                                 drop_last=False)
             else:
                 yield from epoch_indices(n, tcfg.batch_size, 0, seed=0, drop_last=False)
 
         def eval_metrics(params) -> Dict[str, float]:
-            logits_all, labels_all = [], []
+            logits_all, labels_all, gidx_all = [], [], []
             n = val_data.num_examples
             labels_host = np.asarray(val_data.labels)
             for idx in _val_batches(n):
@@ -545,12 +546,17 @@ class Trainer:
                     shard_n = n // dp
                     gidx = (np.arange(dp)[:, None] * shard_n + idx).reshape(-1)
                     labels_all.append(labels_host[gidx])
+                    gidx_all.append(gidx)
                 else:
                     labels_all.append(labels_host[idx])
             logits = np.concatenate(logits_all)
             labels = np.concatenate(labels_all)
             if dp == 1:
                 logits, labels = logits[:n], labels[:n]
+            else:
+                # drop wrap-padded duplicates from the final partial batch
+                _, first = np.unique(np.concatenate(gidx_all), return_index=True)
+                logits, labels = logits[first], labels[first]
             z = logits - logits.max(-1, keepdims=True)
             p = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
             nll = -np.log(np.maximum(p[np.arange(len(labels)), labels], 1e-12)).mean()

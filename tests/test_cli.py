@@ -65,6 +65,40 @@ def test_variant_flag_rebinds_pipeline(tmp_path, monkeypatch):
     assert seen["variant"] == "lmdb"
 
 
+def test_params_inline_overrides(tmp_path, monkeypatch):
+    """--params accepts dotted.key=value overrides (kedro --params parity),
+    mixed with YAML paths; values YAML-parse to their natural types."""
+    from multimodal_classification_tpu.registry import PIPELINE_REGISTRY
+
+    seen = {}
+
+    def fake_pipeline(params, root=".", tracker=None):
+        seen.update(params)
+        return {}
+
+    monkeypatch.setitem(PIPELINE_REGISTRY, "fake_override", fake_pipeline)
+    (tmp_path / "conf/base").mkdir(parents=True)
+    (tmp_path / "conf/base/parameters.yml").write_text(
+        "training:\n  learning_rate: 1.0e-5\n  batch_size: 16\n")
+    assert main([
+        "run", "--pipeline=fake_override", "--root", str(tmp_path),
+        "--params", str(tmp_path / "conf/base/parameters.yml"),
+        "training.learning_rate=3e-5", "vilbert.freeze_bert_layers=6",
+    ]) == 0
+    assert seen["training"]["learning_rate"] == pytest.approx(3e-5)
+    assert seen["training"]["batch_size"] == 16  # YAML value preserved
+    assert seen["vilbert"]["freeze_bert_layers"] == 6  # created path
+
+
+def test_apply_param_overrides_types_and_errors():
+    from multimodal_classification_tpu.config import apply_param_overrides
+
+    p = apply_param_overrides({}, ["a.b=true", "a.c=null", "d=text", "e=1.5"])
+    assert p == {"a": {"b": True, "c": None}, "d": "text", "e": 1.5}
+    with pytest.raises(ValueError, match="dotted.key=value"):
+        apply_param_overrides({}, ["novalue"])
+
+
 def test_variant_flag_rejected_for_non_partial(tmp_path, monkeypatch):
     from multimodal_classification_tpu.registry import PIPELINE_REGISTRY
 

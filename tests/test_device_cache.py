@@ -296,6 +296,29 @@ def test_sharded_epoch_indices_cover_local_shards():
     assert set(per_dev.tolist()) == set(range(10))  # full local shard coverage
 
 
+def test_sharded_epoch_indices_drop_last_false_covers_tail():
+    """With drop_last=False the final partial batch wrap-pads; after global-
+    index dedup (the eval discipline) every shard row appears exactly once."""
+    from multimodal_classification_tpu.data.device_cache import sharded_epoch_indices
+
+    # shard_n = 42/3 = 14, per_dev = 2: 14 % 2 == 0 exercises the exact case;
+    # use batch_size=12 → per_dev=4, 14 % 4 = 2 → wrapped final batch
+    batches = list(sharded_epoch_indices(42, dp=3, batch_size=12, epoch=0,
+                                         drop_last=False))
+    assert all(b.shape == (3, 4) for b in batches)
+    assert len(batches) == 4  # ceil(14/4)
+    for d in range(3):
+        per_dev = np.concatenate([b[d] for b in batches])
+        assert set(per_dev.tolist()) == set(range(14))  # tail covered
+    # global-index dedup (what eval_metrics does) yields each example once
+    shard_n = 14
+    gidx = np.concatenate([
+        (np.arange(3)[:, None] * shard_n + b).reshape(-1) for b in batches
+    ])
+    _, first = np.unique(gidx, return_index=True)
+    assert len(first) == 42
+
+
 def test_epoch_indices_deterministic_and_complete():
     a = list(epoch_indices(50, 8, epoch=1, seed=3))
     b = list(epoch_indices(50, 8, epoch=1, seed=3))
