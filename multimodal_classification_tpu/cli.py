@@ -64,6 +64,13 @@ def main(argv=None) -> int:
                          help="micro-batch aggregation window")
     serve_p.add_argument("--int8", action="store_true",
                          help="int8 MXU serving path (throughput configs)")
+    serve_p.add_argument(
+        "--seq-buckets", default=None,
+        help="comma-separated seq-length buckets (e.g. 32,64); each batch "
+             "dispatches the smallest compiled length that fits its longest "
+             "text (default: config serving_seq_buckets, else one program "
+             "at max_seq_length)",
+    )
 
     bench_p = sub.add_parser(
         "bench", help="run a benchmark: train (bench.py), serving, extraction")
@@ -144,6 +151,10 @@ def main(argv=None) -> int:
             batch_size=args.batch_size,
             int8=args.int8 or ex.serving_int8,
             int8_min_dim=ex.serving_int8_min_dim,
+            seq_buckets=(
+                tuple(int(b) for b in args.seq_buckets.split(","))
+                if args.seq_buckets else ex.serving_seq_buckets
+            ),
         )
         serving.warmup()
         server = InferenceServer(serving, args.host, args.port,

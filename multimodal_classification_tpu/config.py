@@ -249,6 +249,10 @@ class ExperimentConfig:
     # min(shape) < serving_int8_min_dim stay float (cheap + precision-critical).
     serving_int8: bool = False
     serving_int8_min_dim: int = 256
+    # Serving seq-length buckets (ascending, < max_seq_length; the full
+    # length is always appended): each request batch dispatches the smallest
+    # compiled seq length that fits its longest text. () = single program.
+    serving_seq_buckets: Tuple[int, ...] = ()
 
 
 # ---------------------------------------------------------------------------
@@ -397,6 +401,9 @@ def experiment_from_parameters(
         output_dir=model_block.get("output_dir", "data/05_model_output"),
         serving_int8=bool(model_block.get("serving_int8", False)),
         serving_int8_min_dim=int(model_block.get("serving_int8_min_dim", 256)),
+        serving_seq_buckets=tuple(
+            int(b) for b in model_block.get("serving_seq_buckets", ())
+        ),
     )
 
 

@@ -135,3 +135,37 @@ def test_http_server_microbatches_concurrent_requests(serving):
         assert len(out) == 2 and all("probability" in o for o in out)
     finally:
         server.stop()
+
+
+def test_seq_bucket_routing_parity(serving):
+    """Bucketed serving returns byte-identical probabilities: padding is
+    masked, so a short batch dispatched at the 8-token bucket must agree
+    exactly with the single 12-token program (float32 fixture)."""
+    cfg, model, params, store, tok, sm = serving
+    sb = ServingModel(model, params, tok, store, max_seq_length=12,
+                      num_regions=6, feature_dim=32, batch_size=4,
+                      seq_buckets=(8,))
+    assert sb.seq_buckets == (8, 12)
+    sb.warmup()  # compiles both bucket programs
+    short = ["love", "a meme"]                      # ≤ 8 tokens → bucket 8
+    long = ["one two three four five six seven eight nine"]  # > 8 → bucket 12
+    np.testing.assert_array_equal(
+        sb.predict(short, [{"id": "42"}, {}]), sm.predict(short, [{"id": "42"}, {}]))
+    np.testing.assert_array_equal(
+        sb.predict(long, [{"id": "42"}]), sm.predict(long, [{"id": "42"}]))
+
+
+def test_pick_bucket_and_normalization(serving):
+    cfg, model, params, store, tok, _ = serving
+    sb = ServingModel(model, params, tok, store, max_seq_length=12,
+                      num_regions=6, feature_dim=32, batch_size=4,
+                      seq_buckets=(12, 5, 200, 5))  # dedup, drop ≥ max, sort
+    assert sb.seq_buckets == (5, 12)
+    assert sb._pick_bucket(1) == 5
+    assert sb._pick_bucket(5) == 5
+    assert sb._pick_bucket(6) == 12
+    assert sb._pick_bucket(99) == 12
+    # default: single program, no slicing path
+    s1 = ServingModel(model, params, tok, store, max_seq_length=12,
+                      num_regions=6, feature_dim=32, batch_size=4)
+    assert s1.seq_buckets == (12,)
