@@ -26,6 +26,7 @@ import json
 import logging
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional, Sequence
@@ -101,6 +102,20 @@ class ServingModel:
             if used_len <= b:
                 return b
         return self.seq_buckets[-1]
+
+    def group_by_bucket(self, texts: Sequence[str]) -> List[List[int]]:
+        """Partition request indices by seq bucket (order preserved within a
+        group). One long text in an iid-mixed batch would otherwise drag the
+        whole dispatch onto the longest program — the micro-batcher dispatches
+        each group separately so short traffic keeps the short-bucket rate."""
+        if len(self.seq_buckets) <= 1 or len(texts) <= 1:
+            return [list(range(len(texts)))]
+        _, mask, _ = self.tokenizer.encode_batch(list(texts), self.max_seq_length)
+        lens = mask.sum(-1)
+        groups: Dict[int, List[int]] = {}
+        for i, n in enumerate(lens):
+            groups.setdefault(self._pick_bucket(int(n)), []).append(i)
+        return [groups[b] for b in sorted(groups)]
 
     def _features_for(self, inst: Dict[str, Any]):
         if inst.get("features") is not None:
@@ -181,14 +196,33 @@ class _MicroBatcher:
         self.linger_s = linger_ms / 1000.0
         self.q: "queue.Queue" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "max_batch": 0}
+        # ring buffer of recent request latencies (enqueue → result), seconds
+        self._lat = [0.0] * 1024
+        self._lat_n = 0
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def submit(self, instance: Dict[str, Any]) -> Future:
         fut: Future = Future()
-        self.q.put((instance, fut))
+        self.q.put((instance, fut, time.perf_counter()))
         return fut
+
+    def latency_stats(self) -> Dict[str, float]:
+        """p50/p99/mean request latency (ms) over the last ≤1024 requests."""
+        n = min(self._lat_n, len(self._lat))
+        if n == 0:
+            return {}
+        lat = np.sort(np.asarray(self._lat[:n])) * 1000.0
+        return {
+            "latency_ms_p50": round(float(lat[int(0.50 * (n - 1))]), 3),
+            "latency_ms_p99": round(float(lat[int(0.99 * (n - 1))]), 3),
+            "latency_ms_mean": round(float(lat.mean()), 3),
+        }
+
+    def _record_latency(self, t_enq: float):
+        self._lat[self._lat_n % len(self._lat)] = time.perf_counter() - t_enq
+        self._lat_n += 1
 
     def close(self):
         self._stop.set()
@@ -207,25 +241,30 @@ class _MicroBatcher:
                     items.append(self.q.get_nowait())
                 except queue.Empty:
                     break
-            insts = [i for i, _ in items]
-            futs = [f for _, f in items]
             self.stats["requests"] += len(items)
-            self.stats["batches"] += 1
-            self.stats["max_batch"] = max(self.stats["max_batch"], len(items))
-            try:
-                probs = self.serving.predict(
-                    [str(i.get("text", "")) for i in insts], insts
-                )
-                for f, p in zip(futs, probs):
-                    f.set_result({
-                        "probability": float(p[1]),
-                        "prediction": int(np.argmax(p)),
-                    })
-            except Exception as e:  # pragma: no cover - surfaced to client
-                logger.exception("batch failed")
-                for f in futs:
-                    if not f.done():
-                        f.set_exception(e)
+            texts = [str(i.get("text", "")) for i, _, _ in items]
+            # length-grouped dispatch: each seq bucket gets its own batch so
+            # one long request doesn't drag co-arriving short ones onto the
+            # longest compiled program
+            for idx in self.serving.group_by_bucket(texts):
+                insts = [items[i][0] for i in idx]
+                futs = [items[i][1] for i in idx]
+                enq_ts = [items[i][2] for i in idx]
+                self.stats["batches"] += 1
+                self.stats["max_batch"] = max(self.stats["max_batch"], len(idx))
+                try:
+                    probs = self.serving.predict([texts[i] for i in idx], insts)
+                    for f, p, t0 in zip(futs, probs, enq_ts):
+                        f.set_result({
+                            "probability": float(p[1]),
+                            "prediction": int(np.argmax(p)),
+                        })
+                        self._record_latency(t0)
+                except Exception as e:  # pragma: no cover - surfaced to client
+                    logger.exception("batch failed")
+                    for f in futs:
+                        if not f.done():
+                            f.set_exception(e)
 
 
 class InferenceServer:
@@ -252,7 +291,8 @@ class InferenceServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    self._send(200, {"status": "ok", **batcher.stats})
+                    self._send(200, {"status": "ok", **batcher.stats,
+                                     **batcher.latency_stats()})
                 else:
                     self._send(404, {"error": "not found"})
 

@@ -36,6 +36,8 @@ def main() -> int:
 
     dev = jax.devices()[0]
     print(f"serving bench on {dev.platform}:{dev.device_kind}", file=sys.stderr)
+    if os.environ.get("SERVING_MIXED"):
+        return bench_mixed_buckets()
     cfg = facebook_vilbert_config()
     model = ViLBERTForClassification(cfg)
     eval_step = jax.jit(make_eval_step(model))
@@ -80,6 +82,64 @@ def main() -> int:
                 "latency_ms": round(dt / n * 1000, 2),
                 "memes_per_sec": round(n * bs / dt, 1),
             }))
+    return 0
+
+
+def bench_mixed_buckets() -> int:
+    """Realistic mixed-length traffic through the FULL ServingModel path
+    (native tokenizer + padding + dispatch): 90% short meme texts (12-25
+    tokens), 8% medium (~50), 2% long (~120). Compares a single 128-token
+    program against seq buckets (32, 64) with length-grouped batches (what
+    the micro-batcher produces). SERVING_MIXED=1 to run."""
+    import jax
+
+    from multimodal_classification_tpu.config import facebook_vilbert_config
+    from multimodal_classification_tpu.data import WordPieceTokenizer, build_test_vocab
+    from multimodal_classification_tpu.models.vilbert import (
+        ViLBERTForClassification,
+        dummy_batch,
+    )
+    from multimodal_classification_tpu.serving import ServingModel
+    from multimodal_classification_tpu.training.train import model_inputs
+
+    bs = int(os.environ.get("MIXED_BATCH", "16"))
+    n_req = int(os.environ.get("MIXED_REQUESTS", "512"))
+    if os.environ.get("MIXED_TINY"):  # CPU smoke of the harness itself
+        from multimodal_classification_tpu.config import tiny_vilbert_config
+
+        cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False)
+    else:
+        cfg = facebook_vilbert_config()
+    model = ViLBERTForClassification(cfg)
+    batch = dummy_batch(cfg, 1, 16, 100)
+    params = model.init(jax.random.key(0), **model_inputs(batch))["params"]
+    tok = WordPieceTokenizer(build_test_vocab())
+
+    rng = np.random.default_rng(0)
+    kinds = rng.choice([18, 50, 120], size=n_req, p=[0.90, 0.08, 0.02])
+    texts = ["w " * (int(k) - 2) for k in kinds]
+
+    for label, buckets in (("single_128", ()), ("buckets_32_64", (32, 64))):
+        sm = ServingModel(model, params, tok, None, max_seq_length=128,
+                          num_regions=100, feature_dim=cfg.v_feature_size,
+                          batch_size=bs, seq_buckets=buckets)
+        sm.warmup()
+        # length-grouped batches, as _MicroBatcher dispatches them
+        t0 = time.perf_counter()
+        done = 0
+        for start in range(0, n_req, bs):
+            window = texts[start:start + bs]
+            for idx in sm.group_by_bucket(window):
+                probs = sm.predict([window[i] for i in idx])
+                done += len(idx)
+        _ = float(probs[0, 0])
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "path": label,
+            "batch_size": bs,
+            "requests": done,
+            "memes_per_sec": round(done / dt, 1),
+        }))
     return 0
 
 

@@ -169,3 +169,80 @@ def test_pick_bucket_and_normalization(serving):
     s1 = ServingModel(model, params, tok, store, max_seq_length=12,
                       num_regions=6, feature_dim=32, batch_size=4)
     assert s1.seq_buckets == (12,)
+
+
+def test_healthz_reports_latency_percentiles(serving):
+    *_, sm = serving
+    server = InferenceServer(sm, port=0, linger_ms=1.0)
+    server.start()
+    try:
+        url = f"http://127.0.0.1:{server.port}"
+        for _ in range(3):
+            req = urllib.request.Request(
+                f"{url}/predict",
+                data=json.dumps({"text": "meme", "id": "42"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                json.load(r)
+        with urllib.request.urlopen(f"{url}/healthz", timeout=10) as r:
+            h = json.load(r)
+        assert h["requests"] >= 3
+        assert h["latency_ms_p50"] > 0
+        assert h["latency_ms_p99"] >= h["latency_ms_p50"]
+        assert h["latency_ms_mean"] > 0
+    finally:
+        server.stop()
+
+
+def test_microbatcher_groups_mixed_lengths_by_bucket(serving):
+    """Co-arriving short + long requests dispatch as SEPARATE batches (one
+    per seq bucket) so short traffic keeps the short-program rate; results
+    still match the unbucketed model exactly."""
+    cfg, model, params, store, tok, sm = serving
+    sb = ServingModel(model, params, tok, store, max_seq_length=12,
+                      num_regions=6, feature_dim=32, batch_size=4,
+                      seq_buckets=(8,))
+    seen_seqs = []
+    orig = sb.predict
+
+    def spy(texts, instances=None):
+        ids, mask, _ = tok.encode_batch(list(texts), sb.max_seq_length)
+        seen_seqs.append(sb._pick_bucket(int(mask.sum(-1).max())))
+        return orig(texts, instances)
+
+    sb.predict = spy
+    server = InferenceServer(sb, port=0, linger_ms=300.0)
+    server.start()
+    try:
+        url = f"http://127.0.0.1:{server.port}"
+        texts = ["love", "one two three four five six seven eight nine", "a meme"]
+        results = [None] * 3
+        barrier = threading.Barrier(3)
+
+        def hit(k):
+            barrier.wait(10)
+            req = urllib.request.Request(
+                f"{url}/predict",
+                data=json.dumps({"text": texts[k], "id": "42"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                results[k] = json.load(r)
+
+        threads = [threading.Thread(target=hit, args=(k,)) for k in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(30)
+        assert all(r is not None for r in results)
+        # the long text went out at 12, the two short ones together at 8
+        assert sorted(seen_seqs) == [8, 12]
+        assert server.batcher.stats["batches"] == 2
+        assert server.batcher.stats["requests"] == 3
+        # exact agreement with the single-program model
+        ref = sm.predict(texts, [{"id": "42"}] * 3)
+        for k in range(3):
+            assert abs(results[k]["probability"] - float(ref[k][1])) < 1e-6
+    finally:
+        server.stop()
