@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 import os
 import sys
@@ -71,6 +72,31 @@ def main(argv=None) -> int:
              "text (default: config serving_seq_buckets, else one program "
              "at max_seq_length)",
     )
+    serve_p.add_argument(
+        "--artifact", default=None,
+        help="serve from an exported artifact directory (mmc-tpu export) "
+             "instead of tracing the model — params/buckets/int8 come from "
+             "the artifact manifest; --batch-size/--int8/--seq-buckets are "
+             "ignored",
+    )
+
+    export_p = sub.add_parser(
+        "export", help="package the serving model as a portable artifact "
+                       "(StableHLO programs per seq bucket + params.npz + "
+                       "manifest) loadable without model code")
+    export_p.add_argument("--variant", default="lmdb",
+                          help="config variant (feature source + model block)")
+    export_p.add_argument("--root", default=".", help="project root")
+    export_p.add_argument("--out", required=True, help="artifact output directory")
+    export_p.add_argument("--batch-size", type=int, default=16)
+    export_p.add_argument("--int8", action="store_true",
+                          help="export the int8 MXU serving path")
+    export_p.add_argument("--seq-buckets", default=None,
+                          help="comma-separated seq buckets (default: config)")
+    export_p.add_argument(
+        "--platforms", default=None,
+        help="comma-separated target platforms (e.g. tpu,cpu); default: "
+             "current backend only")
 
     bench_p = sub.add_parser(
         "bench", help="run a benchmark: train (bench.py), serving, extraction")
@@ -121,41 +147,60 @@ def main(argv=None) -> int:
 
     from multimodal_classification_tpu.config import default_parameter_paths, load_parameters
 
-    if args.command == "serve":
+    if args.command in ("serve", "export"):
         from multimodal_classification_tpu.config import experiment_from_parameters
         from multimodal_classification_tpu.pipelines.base import (
             build_model_and_params,
             make_feature_store,
         )
         from multimodal_classification_tpu.data import load_tokenizer
-        from multimodal_classification_tpu.serving import InferenceServer, ServingModel
+        from multimodal_classification_tpu.serving import (
+            InferenceServer,
+            ServingModel,
+            export_artifact,
+            load_artifact,
+        )
         from multimodal_classification_tpu.training.train import Trainer
 
         params = load_parameters(*default_parameter_paths(args.root))
         ex = experiment_from_parameters(params, args.variant)
-        model, params_tree = build_model_and_params(ex, args.root)
-        trainer = Trainer(model, ex,
-                          checkpoint_dir=os.path.join(args.root, ex.output_dir))
-        if trainer.ckpt.exists("best"):
-            params_tree = trainer.ckpt.restore("best")["params"]
-            logging.getLogger(__name__).info("loaded 'best' checkpoint")
         store = make_feature_store(args.variant, ex, args.root)
         vocab = ex.data.tokenizer_vocab
         if vocab and not os.path.isabs(vocab):
             vocab = os.path.join(args.root, vocab)
-        serving = ServingModel(
-            model, params_tree, load_tokenizer(vocab, ex.data.lowercase), store,
-            max_seq_length=ex.data.max_seq_length,
-            num_regions=getattr(store, "num_regions", ex.data.max_regions),
-            feature_dim=getattr(store, "feature_dim", ex.data.visual_feature_dim),
-            batch_size=args.batch_size,
-            int8=args.int8 or ex.serving_int8,
-            int8_min_dim=ex.serving_int8_min_dim,
-            seq_buckets=(
+        tokenizer = load_tokenizer(vocab, ex.data.lowercase)
+
+        if args.command == "serve" and args.artifact:
+            serving = load_artifact(args.artifact, tokenizer, store)
+        else:
+            model, params_tree = build_model_and_params(ex, args.root)
+            trainer = Trainer(model, ex,
+                              checkpoint_dir=os.path.join(args.root, ex.output_dir))
+            if trainer.ckpt.exists("best"):
+                params_tree = trainer.ckpt.restore("best")["params"]
+                logging.getLogger(__name__).info("loaded 'best' checkpoint")
+            seq_buckets = (
                 tuple(int(b) for b in args.seq_buckets.split(","))
                 if args.seq_buckets else ex.serving_seq_buckets
-            ),
-        )
+            )
+            common = dict(
+                max_seq_length=ex.data.max_seq_length,
+                num_regions=getattr(store, "num_regions", ex.data.max_regions),
+                feature_dim=getattr(store, "feature_dim", ex.data.visual_feature_dim),
+                batch_size=args.batch_size,
+                int8=args.int8 or ex.serving_int8,
+                int8_min_dim=ex.serving_int8_min_dim,
+                seq_buckets=seq_buckets,
+            )
+            if args.command == "export":
+                manifest = export_artifact(
+                    model, params_tree, args.out,
+                    platforms=(args.platforms.split(",") if args.platforms else None),
+                    **common,
+                )
+                print(json.dumps(manifest, indent=2))
+                return 0
+            serving = ServingModel(model, params_tree, tokenizer, store, **common)
         serving.warmup()
         server = InferenceServer(serving, args.host, args.port,
                                  linger_ms=args.linger_ms)

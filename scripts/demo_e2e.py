@@ -25,6 +25,13 @@ import tempfile
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# DEMO_PLATFORM=cpu forces the backend via jax.config (the JAX_PLATFORMS env
+# var is latched before this script runs when a sitecustomize pre-imports jax)
+if os.environ.get("DEMO_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["DEMO_PLATFORM"])
+
 import numpy as np
 import yaml
 
@@ -146,6 +153,20 @@ def main() -> int:
         feature_dim=store.feature_dim, batch_size=4)
     probs = sm.predict(["a hateful meme"], [{"id": str(ids[0])}])
     print(f"serving P(hateful) for id {ids[0]}: {float(probs[0, 1]):.4f}")
+
+    # export the trained model as a portable artifact and predict from it
+    # (no model code on the loading side): must agree with the live server
+    rc = cli(["export", "--variant", "lmdb", "--root", root,
+              "--out", os.path.join(root, "artifact"), "--batch-size", "4"])
+    assert rc == 0, "export failed"
+    from multimodal_classification_tpu.serving import load_artifact
+
+    loaded = load_artifact(os.path.join(root, "artifact"),
+                           load_tokenizer(os.path.join(root, "vocab.txt"), True),
+                           store)
+    probs2 = loaded.predict(["a hateful meme"], [{"id": str(ids[0])}])
+    np.testing.assert_allclose(probs2, probs, rtol=1e-5, atol=1e-6)
+    print(f"exported-artifact P(hateful) matches: {float(probs2[0, 1]):.4f}")
 
     if not args and not keep:
         shutil.rmtree(root, ignore_errors=True)

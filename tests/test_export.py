@@ -1,0 +1,134 @@
+"""Model export (serving/export.py): jax.export artifact round-trip.
+
+The exported StableHLO programs + params.npz must reproduce the in-process
+ServingModel bit-for-bit without touching the flax model code. No reference
+counterpart (its deployment format is a torch state_dict pickle,
+pipelines/model_training/nodes.py:953-964, unusable without the model class).
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from multimodal_classification_tpu.config import tiny_vilbert_config
+from multimodal_classification_tpu.data import (
+    DictFeatureStore,
+    WordPieceTokenizer,
+    build_test_vocab,
+)
+from multimodal_classification_tpu.models.vilbert import (
+    ViLBERTForClassification,
+    dummy_batch,
+)
+from multimodal_classification_tpu.serving import ServingModel, export_artifact, load_artifact
+from multimodal_classification_tpu.serving.export import (
+    _flatten_params,
+    _unflatten_params,
+)
+from multimodal_classification_tpu.training.train import model_inputs
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False,
+                              v_feature_size=32)
+    model = ViLBERTForClassification(cfg)
+    b = dummy_batch(cfg, 1, 12, 6)
+    params = model.init(jax.random.key(0), **model_inputs(b))["params"]
+    rng = np.random.default_rng(0)
+    store = DictFeatureStore(
+        {"42": rng.standard_normal((6, 32)).astype(np.float32)},
+        {"42": rng.uniform(0, 1, (6, 5)).astype(np.float32)},
+    )
+    tok = WordPieceTokenizer(build_test_vocab())
+    kw = dict(max_seq_length=12, num_regions=6, feature_dim=32, batch_size=4,
+              seq_buckets=(8,))
+    sm = ServingModel(model, params, tok, store, **kw)
+    out = str(tmp_path_factory.mktemp("artifact"))
+    manifest = export_artifact(model, params, out, **kw)
+    return model, params, store, tok, sm, out, manifest
+
+
+def test_manifest_contents(setup):
+    *_, out, manifest = setup
+    assert manifest["seq_buckets"] == [8]
+    assert sorted(manifest["programs"]) == ["12", "8"]
+    for fname in manifest["programs"].values():
+        assert os.path.getsize(os.path.join(out, fname)) > 0
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f) == manifest
+
+
+def test_flatten_roundtrip(setup):
+    _, params, *_ = setup
+    flat = _flatten_params(params)
+    assert all("/" in k or isinstance(v, np.ndarray) for k, v in flat.items())
+    rebuilt = _unflatten_params(flat)
+    jax.tree.map(np.testing.assert_array_equal, params, rebuilt)
+
+
+def test_exported_predict_parity(setup):
+    model, params, store, tok, sm, out, _ = setup
+    loaded = load_artifact(out, tok, store)
+    texts = ["this is a hateful meme", "love"]
+    insts = [{"id": "42"}, {"id": "missing"}]
+    ref = sm.predict(texts, insts)
+    got = loaded.predict(texts, insts)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+    # long text exercises the max-seq (12) program; short the 8 bucket
+    long = ["a " * 20]
+    np.testing.assert_allclose(loaded.predict(long), sm.predict(long),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_exported_int8_parity(setup, tmp_path):
+    model, params, store, tok, *_ = setup
+    kw = dict(max_seq_length=12, num_regions=6, feature_dim=32, batch_size=2,
+              int8=True, int8_min_dim=8)
+    sm8 = ServingModel(model, params, tok, store, **kw)
+    out = str(tmp_path / "int8_artifact")
+    export_artifact(model, params, out, **kw)
+    loaded = load_artifact(out, tok, store)
+    assert loaded.manifest["int8"] is True
+    texts = ["hateful meme"]
+    np.testing.assert_allclose(loaded.predict(texts, [{"id": "42"}]),
+                               sm8.predict(texts, [{"id": "42"}]),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_batch_size_mismatch_rejected(setup):
+    *_, tok_store_etc = setup
+    model, params, store, tok, sm, out, _ = setup
+    from multimodal_classification_tpu.serving import ExportedServingModel
+
+    with pytest.raises(ValueError, match="exported at batch"):
+        ExportedServingModel(out, tok, store, batch_size=16)
+
+
+def test_http_server_over_artifact(setup):
+    """The micro-batching HTTP server works unchanged over a loaded artifact."""
+    import urllib.request
+
+    from multimodal_classification_tpu.serving import InferenceServer
+
+    model, params, store, tok, sm, out, _ = setup
+    loaded = load_artifact(out, tok, store)
+    server = InferenceServer(loaded, port=0, linger_ms=1.0)
+    server.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/predict",
+            data=json.dumps({"text": "a meme", "id": "42"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            resp = json.loads(r.read())
+        assert set(resp) == {"probability", "prediction"}
+        ref = sm.predict(["a meme"], [{"id": "42"}])
+        np.testing.assert_allclose(resp["probability"], float(ref[0, 1]),
+                                   rtol=1e-5)
+    finally:
+        server.stop()
