@@ -10,6 +10,15 @@ import os
 import sys
 
 
+def _calibration_examples(params, root: str, n: int):
+    """Texts + ids from the validation split, for int8 static-activation-
+    scale calibration (``ServingModel.calibrate``)."""
+    from multimodal_classification_tpu.pipelines.base import run_data_processing
+
+    df = run_data_processing(params, root)["val"].head(n)
+    return list(df["text"].astype(str)), [{"id": str(i)} for i in df["id"]]
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="mmc-tpu",
@@ -73,6 +82,12 @@ def main(argv=None) -> int:
              "at max_seq_length)",
     )
     serve_p.add_argument(
+        "--calibrate", type=int, default=0, metavar="N",
+        help="with --int8: calibrate STATIC activation scales on N validation "
+             "examples before serving (removes the per-row quantize "
+             "max-reduction; see ops/quant.py)",
+    )
+    serve_p.add_argument(
         "--artifact", default=None,
         help="serve from an exported artifact directory (mmc-tpu export) "
              "instead of tracing the model — params/buckets/int8 come from "
@@ -97,6 +112,10 @@ def main(argv=None) -> int:
         "--platforms", default=None,
         help="comma-separated target platforms (e.g. tpu,cpu); default: "
              "current backend only")
+    export_p.add_argument(
+        "--calibrate", type=int, default=0, metavar="N",
+        help="with --int8: bake STATIC activation scales (calibrated on N "
+             "validation examples) into the exported program")
 
     bench_p = sub.add_parser(
         "bench", help="run a benchmark: train (bench.py), serving, extraction")
@@ -192,15 +211,25 @@ def main(argv=None) -> int:
                 int8_min_dim=ex.serving_int8_min_dim,
                 seq_buckets=seq_buckets,
             )
+            calib = None
+            if args.calibrate and common["int8"]:
+                calib = _calibration_examples(params, args.root, args.calibrate)
             if args.command == "export":
+                quant = None
+                if calib is not None:
+                    sm = ServingModel(model, params_tree, tokenizer, store, **common)
+                    sm.calibrate(*calib)
+                    quant = sm._quant
                 manifest = export_artifact(
-                    model, params_tree, args.out,
+                    model, params_tree, args.out, quant=quant,
                     platforms=(args.platforms.split(",") if args.platforms else None),
                     **common,
                 )
                 print(json.dumps(manifest, indent=2))
                 return 0
             serving = ServingModel(model, params_tree, tokenizer, store, **common)
+            if calib is not None:
+                serving.calibrate(*calib)
         serving.warmup()
         server = InferenceServer(serving, args.host, args.port,
                                  linger_ms=args.linger_ms)

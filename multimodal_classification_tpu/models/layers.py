@@ -46,11 +46,23 @@ class QuantizableDense(nn.Module):
             "kernel", DEFAULT_INIT, (jnp.shape(x)[-1], self.features), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        if self.is_mutable_collection("calib"):
+            # calibration pass (ops.quant.calibrate_quant_tree): record the
+            # largest input magnitude this layer sees across the batches
+            self.sow(
+                "calib", "amax", jnp.max(jnp.abs(x.astype(jnp.float32))),
+                init_fn=lambda: jnp.zeros((), jnp.float32), reduce_fn=jnp.maximum,
+            )
         if self.has_variable("quant", "qkernel"):
-            from multimodal_classification_tpu.ops.quant import int8_dynamic_dot
+            from multimodal_classification_tpu.ops.quant import int8_dot
 
-            y = int8_dynamic_dot(
-                x, self.get_variable("quant", "qkernel"), self.get_variable("quant", "wscale")
+            ascale = (
+                self.get_variable("quant", "ascale")
+                if self.has_variable("quant", "ascale") else None
+            )
+            y = int8_dot(
+                x, self.get_variable("quant", "qkernel"),
+                self.get_variable("quant", "wscale"), ascale=ascale,
             ).astype(self.dtype)
             return y + bias.astype(self.dtype)
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)

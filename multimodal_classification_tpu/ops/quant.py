@@ -38,16 +38,27 @@ def quantize_kernel(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return q, scale.astype(np.float32)
 
 
-def int8_dynamic_dot(x: jnp.ndarray, qkernel: jnp.ndarray, wscale: jnp.ndarray) -> jnp.ndarray:
+def int8_dot(
+    x: jnp.ndarray,
+    qkernel: jnp.ndarray,
+    wscale: jnp.ndarray,
+    ascale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """``x @ dequant(qkernel)`` computed as an int8 MXU matmul.
 
-    Activations are quantized per row (dynamic symmetric max-abs): the scale
-    factors stay outside the dot, so the int32 accumulator is exact and the
-    only error is the two rounding steps.
+    With ``ascale=None`` activations are quantized per row (dynamic symmetric
+    max-abs): the scale factors stay outside the dot, so the int32 accumulator
+    is exact and the only error is the two rounding steps. With a static
+    (calibrated, per-tensor) ``ascale`` the max-reduction disappears: the
+    quantize step is a pure elementwise prologue XLA fuses into the dot's
+    operand stream, with no reduce-before-matmul dependency. Out-of-range
+    activations saturate at ±127 (calibration should cover the live range —
+    see :func:`calibrate_quant_tree`).
     """
     xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    ascale = jnp.maximum(amax, 1e-12) / 127.0
+    if ascale is None:
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        ascale = jnp.maximum(amax, 1e-12) / 127.0
     qx = jnp.clip(jnp.rint(xf / ascale), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         qx, qkernel,
@@ -55,6 +66,11 @@ def int8_dynamic_dot(x: jnp.ndarray, qkernel: jnp.ndarray, wscale: jnp.ndarray) 
         preferred_element_type=jnp.int32,
     )
     return acc.astype(jnp.float32) * ascale * wscale
+
+
+# backward-compatible name (pre-calibration API)
+def int8_dynamic_dot(x, qkernel, wscale):
+    return int8_dot(x, qkernel, wscale, ascale=None)
 
 
 def build_quant_tree(params: Dict[str, Any], min_dim: int = DEFAULT_MIN_DIM) -> Dict[str, Any]:
@@ -78,6 +94,59 @@ def build_quant_tree(params: Dict[str, Any], min_dim: int = DEFAULT_MIN_DIM) -> 
             sub = build_quant_tree(v, min_dim)
             if sub:
                 out[k] = sub
+    return out
+
+
+def calibrate_quant_tree(model, params, quant: Dict[str, Any], batches) -> Dict[str, Any]:
+    """Add STATIC per-tensor activation scales to a quant tree.
+
+    Runs the given calibration batches through the FLOAT path; every
+    ``QuantizableDense`` sows the max-abs of its input into the ``"calib"``
+    collection (models/layers.py). The returned tree is ``quant`` with a
+    scalar ``"ascale"`` (= observed max / 127) alongside each quantized
+    kernel — the int8 eval step then skips the per-row max-reduction the
+    dynamic path inserts before every matmul. Layers the calibration data
+    never reaches stay dynamic.
+
+    Accuracy: static per-tensor scales are coarser than per-row dynamic ones;
+    gate with a prediction-agreement test on held-out data before enabling
+    (the reference has no quantization story at all — this whole path is a
+    framework extension; see ops/quant.py module docstring).
+    """
+    from multimodal_classification_tpu.training.train import model_inputs
+
+    @jax.jit
+    def calib_step(p, b):
+        _, mut = model.apply(
+            {"params": p}, **model_inputs(b), deterministic=True, mutable=["calib"]
+        )
+        return mut["calib"]
+
+    amax_tree = None
+    for b in batches:
+        c = calib_step(params, b)
+        amax_tree = c if amax_tree is None else jax.tree.map(jnp.maximum, amax_tree, c)
+    if amax_tree is None:
+        raise ValueError("calibrate_quant_tree needs at least one batch")
+    amax_tree = jax.device_get(amax_tree)
+    return _with_ascales(quant, amax_tree)
+
+
+def _with_ascales(quant: Dict[str, Any], calib) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in quant.items():
+        sub_calib = calib.get(k, {}) if isinstance(calib, dict) else {}
+        if not isinstance(v, dict):
+            out[k] = v
+        elif "qkernel" in v:
+            amax = sub_calib.get("amax") if isinstance(sub_calib, dict) else None
+            if amax is None:
+                out[k] = dict(v)  # never calibrated: stays per-row dynamic
+            else:
+                a = float(np.asarray(amax))
+                out[k] = {**v, "ascale": jnp.float32(max(a, 1e-12) / 127.0)}
+        else:
+            out[k] = _with_ascales(v, sub_calib)
     return out
 
 

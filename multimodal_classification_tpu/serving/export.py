@@ -91,12 +91,16 @@ def export_artifact(
     seq_buckets: Sequence[int] = (),
     int8: bool = False,
     int8_min_dim: int = 256,
+    quant=None,
     platforms: Optional[Sequence[str]] = None,
 ) -> Dict[str, Any]:
     """Serialize the serving eval step(s) + params into ``out_dir``.
 
     Returns the manifest dict. ``platforms=None`` exports for the current
     backend only; pass ``("tpu", "cpu")`` for a cross-platform artifact.
+    ``quant`` overrides the freshly-built int8 tree — pass a CALIBRATED tree
+    (``ops.quant.calibrate_quant_tree`` / ``ServingModel.calibrate``) to
+    export the static-activation-scale program.
     """
     from jax import export as jexport
 
@@ -109,13 +113,14 @@ def export_artifact(
     buckets = sorted({int(b) for b in seq_buckets if 0 < int(b) < max_seq_length})
     all_seqs = tuple(buckets) + (int(max_seq_length),)
 
-    quant = None
     if int8:
-        from multimodal_classification_tpu.ops.quant import build_quant_tree
+        if quant is None:
+            from multimodal_classification_tpu.ops.quant import build_quant_tree
 
-        quant = build_quant_tree(params, min_dim=int8_min_dim)
+            quant = build_quant_tree(params, min_dim=int8_min_dim)
         step = make_quant_eval_step(model)
     else:
+        quant = None
         step = make_eval_step(model)
 
     spec = lambda t: jax.tree.map(  # noqa: E731
@@ -181,6 +186,7 @@ class ExportedServingModel(ServingModel):
 
         # ServingModel.__init__ builds a traced step from a model — bypass it
         # and fill the same attributes from the manifest.
+        self._model = None  # no model code on the serving host (no calibrate())
         self.tokenizer = tokenizer
         self.store = store
         self.max_seq_length = int(man["max_seq_length"])

@@ -81,6 +81,7 @@ class ServingModel:
         self.feature_dim = feature_dim
         self.batch_size = batch_size
         self.params = params
+        self._model = model
         if int8:
             from multimodal_classification_tpu.ops.quant import build_quant_tree
 
@@ -89,6 +90,25 @@ class ServingModel:
         else:
             self._quant = None
             self._step = jax.jit(make_eval_step(model))
+
+    def calibrate(self, texts: Sequence[str],
+                  instances: Optional[Sequence[Dict[str, Any]]] = None):
+        """Switch the int8 path to STATIC activation scales calibrated on the
+        given examples (typically the validation split). Removes the per-row
+        max-reduction before every quantized matmul; see
+        ``ops.quant.calibrate_quant_tree`` for the accuracy trade-off."""
+        if self._quant is None:
+            raise ValueError("calibrate() requires int8=True")
+        from multimodal_classification_tpu.ops.quant import calibrate_quant_tree
+
+        batches = []
+        for i in range(0, len(texts), self.batch_size):
+            chunk = list(texts[i:i + self.batch_size])
+            inst = list(instances[i:i + self.batch_size]) if instances else None
+            batches.append(self._build_batch(chunk, inst))
+        self._quant = calibrate_quant_tree(self._model, self.params,
+                                           self._quant, batches)
+        logger.info("int8 activation scales calibrated on %d examples", len(texts))
 
     def warmup(self):
         """Compile the eval program for every seq bucket before taking traffic."""
@@ -146,15 +166,13 @@ class ServingModel:
         mask[:n] = 1.0
         return out_f, out_s, mask
 
-    def predict(self, texts: Sequence[str],
-                instances: Optional[Sequence[Dict[str, Any]]] = None) -> np.ndarray:
+    def _build_batch(self, texts: Sequence[str],
+                     instances: Optional[Sequence[Dict[str, Any]]] = None
+                     ) -> Dict[str, jnp.ndarray]:
+        """Tokenize + look up features + pad to the compiled batch shape."""
         n = len(texts)
-        if n == 0:
-            return np.zeros((0, 2), np.float32)
-        if n > self.batch_size:
-            raise ValueError(f"batch of {n} exceeds compiled size {self.batch_size}")
         instances = instances or [{} for _ in texts]
-        ids_, mask_, type_ = self.tokenizer.encode_batch(texts, self.max_seq_length)
+        ids_, mask_, type_ = self.tokenizer.encode_batch(list(texts), self.max_seq_length)
         if len(self.seq_buckets) > 1:
             seq = self._pick_bucket(int(mask_.sum(-1).max()))
             ids_, mask_, type_ = ids_[:, :seq], mask_[:, :seq], type_[:, :seq]
@@ -169,7 +187,7 @@ class ServingModel:
             reps = [(0, self.batch_size - n)] + [(0, 0)] * (x.ndim - 1)
             return np.pad(x, reps)
 
-        batch = {
+        return {
             "input_ids": jnp.asarray(pad(ids_)),
             "attention_mask": jnp.asarray(pad(mask_)),
             "token_type_ids": jnp.asarray(pad(type_)),
@@ -177,6 +195,15 @@ class ServingModel:
             "visual_attention_mask": jnp.asarray(pad(vmask)),
             "spatial_locations": jnp.asarray(pad(spatial)),
         }
+
+    def predict(self, texts: Sequence[str],
+                instances: Optional[Sequence[Dict[str, Any]]] = None) -> np.ndarray:
+        n = len(texts)
+        if n == 0:
+            return np.zeros((0, 2), np.float32)
+        if n > self.batch_size:
+            raise ValueError(f"batch of {n} exceeds compiled size {self.batch_size}")
+        batch = self._build_batch(texts, instances)
         if self._quant is not None:
             logits = self._step(self.params, self._quant, batch)
         else:

@@ -34,6 +34,22 @@ def test_run_data_processing_pipeline(tmp_path, capsys):
     assert stats["train"]["num_samples"] == 16
 
 
+def test_calibration_examples_from_val_split(tmp_path):
+    """serve/export --calibrate N pulls texts+ids from the val split."""
+    from multimodal_classification_tpu.cli import _calibration_examples
+
+    root = tmp_path
+    data_dir = root / "data/01_raw/hateful_memes"
+    data_dir.mkdir(parents=True)
+    make_dataset_dir(data_dir, n_train=16, n_val=8, n_test=8)
+    texts, insts = _calibration_examples(
+        {"data_processing": {"data_dir": "data/01_raw/hateful_memes"}},
+        str(root), 5)
+    assert len(texts) == 5 and len(insts) == 5
+    assert all(isinstance(t, str) and t for t in texts)
+    assert all(set(i) == {"id"} for i in insts)
+
+
 def test_unknown_pipeline_errors(tmp_path):
     with pytest.raises(KeyError, match="Unknown pipeline"):
         main(["run", "--pipeline=nope", "--root", str(tmp_path)])

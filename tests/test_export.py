@@ -99,6 +99,35 @@ def test_exported_int8_parity(setup, tmp_path):
                                rtol=1e-6, atol=1e-7)
 
 
+def test_exported_calibrated_int8_parity(setup, tmp_path):
+    """ServingModel.calibrate switches to static activation scales; exporting
+    the calibrated quant tree reproduces it bit-for-bit, and predictions stay
+    rank-consistent with the float path."""
+    model, params, store, tok, sm, *_ = setup
+    kw = dict(max_seq_length=12, num_regions=6, feature_dim=32, batch_size=2,
+              int8=True, int8_min_dim=8)
+    sm8 = ServingModel(model, params, tok, store, **kw)
+    texts = ["hateful meme", "love and peace"]
+    insts = [{"id": "42"}, {"id": "42"}]
+    sm8.calibrate(texts, insts)
+
+    def has_ascale(t):
+        return any(
+            ("ascale" in v or has_ascale(v)) if isinstance(v, dict) else False
+            for v in t.values()
+        )
+
+    assert has_ascale(sm8._quant)
+    out = str(tmp_path / "calib_artifact")
+    export_artifact(model, params, out, quant=sm8._quant, **kw)
+    loaded = load_artifact(out, tok, store)
+    ref = sm8.predict(texts, insts)
+    np.testing.assert_allclose(loaded.predict(texts, insts), ref,
+                               rtol=1e-6, atol=1e-7)
+    # static-int8 predictions agree with the float server's argmax
+    assert (ref.argmax(-1) == sm.predict(texts, insts).argmax(-1)).all()
+
+
 def test_batch_size_mismatch_rejected(setup):
     *_, tok_store_etc = setup
     model, params, store, tok, sm, out, _ = setup

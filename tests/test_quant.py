@@ -17,7 +17,9 @@ from multimodal_classification_tpu.models.vilbert import (
 )
 from multimodal_classification_tpu.ops.quant import (
     build_quant_tree,
+    calibrate_quant_tree,
     count_quantized,
+    int8_dot,
     int8_dynamic_dot,
     quantize_kernel,
 )
@@ -112,6 +114,63 @@ def test_model_quant_logits_track_float(model_and_params):
     margin_got = got[:, 1] - got[:, 0]
     corr = np.corrcoef(margin_ref, margin_got)[0, 1]
     assert corr > 0.98, (corr, margin_ref, margin_got)
+
+
+def test_int8_static_dot_matches_dynamic_within_quant_noise():
+    """A static per-tensor scale covering the live range tracks the dynamic
+    per-row path: same dot, coarser quantization grid."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((8, 256)).astype(np.float32)
+    w = rng.standard_normal((256, 512)).astype(np.float32)
+    q, s = quantize_kernel(w)
+    ref = x @ w
+    ascale = jnp.float32(np.abs(x).max() / 127.0)
+    got = np.asarray(int8_dot(jnp.asarray(x), jnp.asarray(q), jnp.asarray(s),
+                              ascale=ascale))
+    rel = np.abs(got - ref) / (np.abs(ref).mean() + 1e-6)
+    assert rel.mean() < 0.03 and rel.max() < 0.3
+
+
+def test_calibrated_static_scales_track_float(model_and_params):
+    """calibrate_quant_tree adds an ascale to EVERY quantized kernel (the
+    calibration batch reaches all of them) and the static program's logits
+    rank-agree with the float path like the dynamic one does."""
+    model, params, batch = model_and_params
+    quant = build_quant_tree(params, min_dim=64)
+    calibrated = calibrate_quant_tree(model, params, quant, [batch])
+
+    def n_ascales(t):
+        return sum(
+            (1 if "ascale" in v else n_ascales(v)) if isinstance(v, dict) else 0
+            for v in t.values()
+        )
+
+    assert n_ascales(calibrated) == count_quantized(quant)
+    ref = jax.jit(make_eval_step(model))(params, batch)
+    got = jax.jit(make_quant_eval_step(model))(params, calibrated, batch)
+    ref, got = np.asarray(ref), np.asarray(got)
+    assert (ref.argmax(-1) == got.argmax(-1)).mean() >= 0.99
+    corr = np.corrcoef(ref[:, 1] - ref[:, 0], got[:, 1] - got[:, 0])[0, 1]
+    assert corr > 0.98, corr
+
+
+def test_calibration_pass_leaves_float_outputs_untouched(model_and_params):
+    """The calib sow must not change what the float path computes (both
+    sides jitted — jit-vs-eager rounding would otherwise dominate)."""
+    model, params, batch = model_and_params
+    ref = jax.jit(make_eval_step(model))(params, batch)
+
+    @jax.jit
+    def calib_fwd(p, b):
+        out, mut = model.apply({"params": p}, **model_inputs(b),
+                               deterministic=True, mutable=["calib"])
+        return out["logits"].astype(jnp.float32), mut["calib"]
+
+    got, calib = calib_fwd(params, batch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-7)
+    assert len(jax.tree.leaves(calib)) > 10
+    assert all(float(v) > 0 for v in jax.tree.leaves(calib))
 
 
 def test_quant_collection_absent_is_exact_dense(model_and_params):
