@@ -27,7 +27,11 @@ def main() -> int:
         ViLBERTForClassification,
         dummy_batch,
     )
-    from multimodal_classification_tpu.ops.quant import build_quant_tree, count_quantized
+    from multimodal_classification_tpu.ops.quant import (
+        build_quant_tree,
+        calibrate_quant_tree,
+        count_quantized,
+    )
     from multimodal_classification_tpu.training.train import (
         make_eval_step,
         make_quant_eval_step,
@@ -38,7 +42,12 @@ def main() -> int:
     print(f"serving bench on {dev.platform}:{dev.device_kind}", file=sys.stderr)
     if os.environ.get("SERVING_MIXED"):
         return bench_mixed_buckets()
-    cfg = facebook_vilbert_config()
+    if os.environ.get("SERVING_TINY"):  # CPU smoke of the harness itself
+        from multimodal_classification_tpu.config import tiny_vilbert_config
+
+        cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False)
+    else:
+        cfg = facebook_vilbert_config()
     model = ViLBERTForClassification(cfg)
     eval_step = jax.jit(make_eval_step(model))
     quant_step = jax.jit(make_quant_eval_step(model))
@@ -50,7 +59,10 @@ def main() -> int:
     # 12-25 tokens, so deployments compile at a bucket (masked attention --
     # identical function on real tokens, exactness-tested for training)
     seq = int(os.environ.get("SERVING_SEQ", "128"))
-    params = quant = None
+    # paths: bf16 (float), int8 (dynamic per-row activation scales),
+    # int8s (STATIC calibrated scales — no pre-matmul max-reduction)
+    paths = os.environ.get("SERVING_PATHS", "bf16,int8,int8s").split(",")
+    params = quant = quant_static = None
     for bs in batches:
         batch = dummy_batch(cfg, bs, seq, 100)
         rng = np.random.default_rng(0)
@@ -61,11 +73,18 @@ def main() -> int:
             params = model.init(jax.random.key(0), **batch)["params"]
             quant = build_quant_tree(params)
             print(f"int8-quantized kernels: {count_quantized(quant)}", file=sys.stderr)
+            if "int8s" in paths:
+                t0 = time.perf_counter()
+                quant_static = calibrate_quant_tree(model, params, quant, [batch])
+                print(f"calibrated static scales in {time.perf_counter() - t0:.1f}s",
+                      file=sys.stderr)
 
-        for name, step in (
-            ("bf16", lambda b: eval_step(params, model_inputs(b))),
-            ("int8", lambda b: quant_step(params, quant, model_inputs(b))),
-        ):
+        steps = {
+            "bf16": lambda b: eval_step(params, model_inputs(b)),
+            "int8": lambda b: quant_step(params, quant, model_inputs(b)),
+            "int8s": lambda b: quant_step(params, quant_static, model_inputs(b)),
+        }
+        for name, step in ((p, steps[p]) for p in paths):
             for _ in range(3):
                 logits = step(batch)
             _ = float(logits[0, 0])
