@@ -82,6 +82,12 @@ def main(argv=None) -> int:
              "at max_seq_length)",
     )
     serve_p.add_argument(
+        "--mesh", default=None, metavar="DP,MP",
+        help="multi-chip serving: shard each compiled batch over a dp×mp "
+             "device mesh (e.g. --mesh 8,1 on a v5e-8; -1 infers one axis "
+             "from the device count)",
+    )
+    serve_p.add_argument(
         "--calibrate", type=int, default=0, metavar="N",
         help="with --int8: calibrate STATIC activation scales on N validation "
              "examples before serving (removes the per-row quantize "
@@ -227,7 +233,13 @@ def main(argv=None) -> int:
                 )
                 print(json.dumps(manifest, indent=2))
                 return 0
-            serving = ServingModel(model, params_tree, tokenizer, store, **common)
+            mesh = None
+            if getattr(args, "mesh", None):
+                from multimodal_classification_tpu.parallel.mesh import build_mesh
+
+                mesh = build_mesh(tuple(int(x) for x in args.mesh.split(",")))
+            serving = ServingModel(model, params_tree, tokenizer, store,
+                                   mesh=mesh, **common)
             if calib is not None:
                 serving.calibrate(*calib)
         serving.warmup()

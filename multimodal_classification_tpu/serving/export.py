@@ -187,6 +187,8 @@ class ExportedServingModel(ServingModel):
         # ServingModel.__init__ builds a traced step from a model — bypass it
         # and fill the same attributes from the manifest.
         self._model = None  # no model code on the serving host (no calibrate())
+        self.mesh = None  # serialized programs carry their own shardings
+        self._batch_sharding = None
         self.tokenizer = tokenizer
         self.store = store
         self.max_seq_length = int(man["max_seq_length"])

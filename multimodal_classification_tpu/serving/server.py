@@ -59,6 +59,7 @@ class ServingModel:
         int8: bool = False,
         int8_min_dim: int = 256,
         seq_buckets: Optional[Sequence[int]] = None,
+        mesh=None,
     ):
         from multimodal_classification_tpu.training.train import (
             make_eval_step,
@@ -90,6 +91,28 @@ class ServingModel:
         else:
             self._quant = None
             self._step = jax.jit(make_eval_step(model))
+        # Multi-chip serving: shard the compiled batch over the mesh's dp
+        # axis (each chip evaluates batch/dp examples; tp rules shard params
+        # over mp when the mesh has one) — XLA inserts the collectives. The
+        # serving surface is unchanged; per-dispatch throughput scales with
+        # the dp degree.
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from multimodal_classification_tpu.parallel.mesh import (
+                batch_sharding,
+                replicated,
+                shard_params,
+            )
+
+            dp = mesh.shape.get("dp", 1)
+            if batch_size % max(dp, 1):
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by dp={dp}")
+            self.params = shard_params(self.params, mesh)
+            if self._quant is not None:
+                self._quant = jax.device_put(self._quant, replicated(mesh))
+            self._batch_sharding = batch_sharding(mesh)
 
     def calibrate(self, texts: Sequence[str],
                   instances: Optional[Sequence[Dict[str, Any]]] = None):
@@ -187,14 +210,17 @@ class ServingModel:
             reps = [(0, self.batch_size - n)] + [(0, 0)] * (x.ndim - 1)
             return np.pad(x, reps)
 
-        return {
-            "input_ids": jnp.asarray(pad(ids_)),
-            "attention_mask": jnp.asarray(pad(mask_)),
-            "token_type_ids": jnp.asarray(pad(type_)),
-            "visual_features": jnp.asarray(pad(feats)),
-            "visual_attention_mask": jnp.asarray(pad(vmask)),
-            "spatial_locations": jnp.asarray(pad(spatial)),
+        batch = {
+            "input_ids": pad(ids_),
+            "attention_mask": pad(mask_),
+            "token_type_ids": pad(type_),
+            "visual_features": pad(feats),
+            "visual_attention_mask": pad(vmask),
+            "spatial_locations": pad(spatial),
         }
+        if self._batch_sharding is not None:
+            return jax.device_put(batch, self._batch_sharding)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def predict(self, texts: Sequence[str],
                 instances: Optional[Sequence[Dict[str, Any]]] = None) -> np.ndarray:

@@ -246,3 +246,43 @@ def test_microbatcher_groups_mixed_lengths_by_bucket(serving):
             assert abs(results[k]["probability"] - float(ref[k][1])) < 1e-6
     finally:
         server.stop()
+
+
+def test_mesh_sharded_serving_parity(serving):
+    """ServingModel(mesh=...) shards the compiled batch over dp (and params
+    over mp via the tp rules); predictions match the single-device server."""
+    from multimodal_classification_tpu.parallel.mesh import build_mesh
+
+    cfg, model, params, store, tok, sm = serving
+    mesh = build_mesh((4, 2))  # dp=4 x mp=2 over the 8-device CPU mesh
+    sm_mesh = ServingModel(model, params, tok, store, max_seq_length=12,
+                           num_regions=6, feature_dim=32, batch_size=4,
+                           mesh=mesh)
+    texts = ["this is a hateful meme", "love", "w w w", "meme"]
+    insts = [{"id": "42"}, {"id": "42"}, {"id": "nope"}, {"id": "42"}]
+    ref = sm.predict(texts, insts)
+    got = sm_mesh.predict(texts, insts)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_mesh_sharded_serving_int8_and_batch_divisibility(serving):
+    from multimodal_classification_tpu.parallel.mesh import build_mesh
+
+    cfg, model, params, store, tok, sm = serving
+    mesh = build_mesh((8, 1))
+    with pytest.raises(ValueError, match="not divisible"):
+        ServingModel(model, params, tok, store, max_seq_length=12,
+                     num_regions=6, feature_dim=32, batch_size=6, mesh=mesh)
+    sm8 = ServingModel(model, params, tok, store, max_seq_length=12,
+                       num_regions=6, feature_dim=32, batch_size=8,
+                       int8=True, int8_min_dim=8, mesh=mesh)
+    sm8.calibrate(["a meme", "love w w"], [{"id": "42"}, {"id": "42"}])
+    ref8 = ServingModel(model, params, tok, store, max_seq_length=12,
+                        num_regions=6, feature_dim=32, batch_size=8,
+                        int8=True, int8_min_dim=8)
+    ref8.calibrate(["a meme", "love w w"], [{"id": "42"}, {"id": "42"}])
+    texts = ["hateful meme", "love"]
+    insts = [{"id": "42"}, {"id": "42"}]
+    np.testing.assert_allclose(sm8.predict(texts, insts),
+                               ref8.predict(texts, insts),
+                               rtol=2e-5, atol=1e-6)
