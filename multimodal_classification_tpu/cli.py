@@ -123,6 +123,13 @@ def main(argv=None) -> int:
         help="with --int8: bake STATIC activation scales (calibrated on N "
              "validation examples) into the exported program")
 
+    doctor_p = sub.add_parser(
+        "doctor", help="diagnose the environment: backend reachability "
+                       "(hang-proof, time-boxed probe), native components, "
+                       "compilation cache")
+    doctor_p.add_argument("--timeout", type=float, default=60.0,
+                          help="seconds to wait for the accelerator backend")
+
     bench_p = sub.add_parser(
         "bench", help="run a benchmark: train (bench.py), serving, extraction")
     bench_p.add_argument("what", choices=["train", "serving", "extraction"],
@@ -133,6 +140,11 @@ def main(argv=None) -> int:
 
     setup_logging(log_dir=os.path.join(getattr(args, "root", "."), "logs")
                   if args.command == "run" else None)
+
+    if args.command == "doctor":
+        from multimodal_classification_tpu.utils.doctor import main as doctor_main
+
+        return doctor_main(args.timeout)
 
     if args.command == "list":
         from multimodal_classification_tpu import registry

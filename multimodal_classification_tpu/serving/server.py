@@ -346,6 +346,21 @@ class InferenceServer:
                 if self.path == "/healthz":
                     self._send(200, {"status": "ok", **batcher.stats,
                                      **batcher.latency_stats()})
+                elif self.path == "/metrics":
+                    # Prometheus text exposition format
+                    stats = {**batcher.stats, **batcher.latency_stats()}
+                    lines = []
+                    for k, v in stats.items():
+                        name = f"mmc_serving_{k}"
+                        kind = "counter" if k in ("requests", "batches") else "gauge"
+                        lines += [f"# TYPE {name} {kind}", f"{name} {v}"]
+                    body = ("\n".join(lines) + "\n").encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._send(404, {"error": "not found"})
 

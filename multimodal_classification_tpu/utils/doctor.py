@@ -1,0 +1,115 @@
+"""Environment diagnosis (``mmc-tpu doctor``): is this host ready to train?
+
+Every check is hang-proof: anything that can block on a remote backend (TPU
+relay init — which HANGS rather than erroring when the relay is down) runs
+in a time-boxed subprocess. The reference has no equivalent surface; this
+exists because remote-TPU environments fail in ways local-GPU ones don't
+(unreachable relay, missing native toolchain, cold compilation cache).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from typing import List, Optional, Tuple
+
+Check = Tuple[str, str, str]  # (name, status: ok|warn|fail, detail)
+
+_PROBE = (
+    "import jax\n"
+    "d = jax.devices()\n"
+    "import json\n"
+    "print(json.dumps({'platform': d[0].platform, 'kind': d[0].device_kind,"
+    " 'n': len(d)}))\n"
+)
+
+
+def _probe_backend(timeout: float, force_cpu: bool) -> Tuple[str, str]:
+    env = dict(os.environ)
+    code = _PROBE
+    if force_cpu:
+        env["JAX_PLATFORMS"] = "cpu"
+        code = "import jax\njax.config.update('jax_platforms', 'cpu')\n" + _PROBE
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True,
+            text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return "fail", f"no response within {timeout:.0f}s (relay down or hung init)"
+    if proc.returncode != 0:
+        return "fail", (proc.stderr.strip().splitlines() or ["unknown error"])[-1][:200]
+    try:
+        info = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception:
+        return "warn", f"unparseable probe output: {proc.stdout[:200]!r}"
+    return "ok", f"{info['platform']}:{info['kind']} x{info['n']}"
+
+
+def run_doctor(timeout: float = 60.0) -> List[Check]:
+    checks: List[Check] = []
+
+    import jax
+
+    checks.append(("versions", "ok",
+                   f"python {sys.version.split()[0]}, jax {jax.__version__}"))
+
+    status, detail = _probe_backend(timeout, force_cpu=False)
+    checks.append(("default backend (accelerator)", status, detail))
+
+    status, detail = _probe_backend(min(timeout, 120.0), force_cpu=True)
+    # CPU must always work — it is the test/fallback path
+    checks.append(("cpu backend (fallback)",
+                   status if status == "ok" else "fail", detail))
+
+    # native C++ components (both have pure-python fallbacks)
+    try:
+        from multimodal_classification_tpu.data.lmdb_store import build_native_reader
+
+        so = build_native_reader()
+        checks.append(("native LMDB reader", "ok" if so else "warn",
+                       so or "build unavailable; python reader fallback"))
+    except Exception as e:  # pragma: no cover - defensive
+        checks.append(("native LMDB reader", "warn", f"{e} (python fallback)"))
+    try:
+        from multimodal_classification_tpu.data.tokenizer_native import (
+            build_native_tokenizer,
+        )
+
+        so = build_native_tokenizer()
+        checks.append(("native WordPiece tokenizer", "ok" if so else "warn",
+                       so or "build unavailable; python tokenizer fallback"))
+    except Exception as e:
+        checks.append(("native WordPiece tokenizer", "warn",
+                       f"{e} (python fallback)"))
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache and os.path.isdir(cache):
+        n = len(os.listdir(cache))
+        checks.append(("XLA compilation cache", "ok", f"{cache} ({n} entries)"))
+    else:
+        checks.append(("XLA compilation cache", "warn",
+                       "JAX_COMPILATION_CACHE_DIR unset — every process "
+                       "repays the full compile (minutes on a remote TPU)"))
+
+    for mod in ("flax", "optax", "orbax.checkpoint"):
+        try:
+            __import__(mod)
+            checks.append((mod, "ok", ""))
+        except Exception as e:
+            checks.append((mod, "fail", str(e)[:200]))
+    return checks
+
+
+def format_checks(checks: List[Check]) -> str:
+    icon = {"ok": "ok  ", "warn": "WARN", "fail": "FAIL"}
+    width = max(len(n) for n, _, _ in checks)
+    return "\n".join(f"[{icon[s]}] {n:<{width}}  {d}" for n, s, d in checks)
+
+
+def main(timeout: float = 60.0) -> int:
+    checks = run_doctor(timeout)
+    print(format_checks(checks))
+    return 1 if any(s == "fail" for _, s, _ in checks) else 0

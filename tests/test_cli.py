@@ -122,3 +122,24 @@ def test_variant_flag_rejected_for_non_partial(tmp_path, monkeypatch):
     with pytest.raises(SystemExit):
         main(["run", "--pipeline=fake_plain", "--variant", "x",
               "--root", str(tmp_path)])
+
+
+def test_doctor_is_hang_proof_and_reports(capsys):
+    """mmc-tpu doctor must return even when the accelerator backend is
+    unreachable (probe is time-boxed) and must report the CPU fallback +
+    native components. timeout=0.01 forces the accelerator probe down the
+    timeout path without waiting on the real relay."""
+    from multimodal_classification_tpu.utils.doctor import run_doctor
+
+    checks = run_doctor(timeout=0.01)
+    by_name = {n: (s, d) for n, s, d in checks}
+    assert by_name["default backend (accelerator)"][0] == "fail"
+    assert "no response" in by_name["default backend (accelerator)"][1]
+    # CPU probe uses min(timeout, 120) — with timeout=0.01 it also times out,
+    # so re-run the CPU check alone with a sane budget
+    from multimodal_classification_tpu.utils.doctor import _probe_backend
+
+    status, detail = _probe_backend(120.0, force_cpu=True)
+    assert status == "ok" and "cpu" in detail
+    assert by_name["flax"][0] == "ok"
+    assert by_name["native LMDB reader"][0] in ("ok", "warn")

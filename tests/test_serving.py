@@ -286,3 +286,27 @@ def test_mesh_sharded_serving_int8_and_batch_divisibility(serving):
     np.testing.assert_allclose(sm8.predict(texts, insts),
                                ref8.predict(texts, insts),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_metrics_endpoint_prometheus_format(serving):
+    cfg, model, params, store, tok, sm = serving
+    server = InferenceServer(sm, port=0, linger_ms=1.0)
+    server.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/predict",
+            data=json.dumps({"text": "a meme", "id": "42"}).encode())
+        with urllib.request.urlopen(req, timeout=30):
+            pass
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/metrics", timeout=10) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            body = r.read().decode()
+        assert "# TYPE mmc_serving_requests counter" in body
+        lines = dict(
+            l.split(" ", 1) for l in body.strip().splitlines()
+            if not l.startswith("#"))
+        assert float(lines["mmc_serving_requests"]) >= 1
+        assert "mmc_serving_latency_ms_p50" in lines
+    finally:
+        server.stop()
