@@ -67,10 +67,28 @@ def _build_fixture(cache_dir: str) -> str:
     return path
 
 
+def _backend_watchdog(timeout_s: float):
+    """Kill the process if the backend never comes up: a downed TPU relay
+    HANGS backend init (no error), which would otherwise hang the driver.
+    Returns a cancel() callable to invoke once devices are live."""
+    import threading
+
+    timer = threading.Timer(timeout_s, lambda: (
+        print(f"bench: no backend within {timeout_s:.0f}s "
+              "(TPU relay down?) — aborting", file=sys.stderr, flush=True),
+        os._exit(3),
+    ))
+    timer.daemon = True
+    timer.start()
+    return timer.cancel
+
+
 def setup(k: int = 10):
     """Build the bench configuration: device-resident data, jitted K-step
     train step, initial state and the index-block iterator. Shared by the
     throughput measurement (main) and scripts/profile_step.py."""
+    cancel_watchdog = _backend_watchdog(
+        float(os.environ.get("BENCH_BACKEND_TIMEOUT", "900")))
     import jax
     import jax.numpy as jnp
     import optax
@@ -94,6 +112,7 @@ def setup(k: int = 10):
     from multimodal_classification_tpu.training.train import TrainState, model_inputs
 
     dev = jax.devices()[0]
+    cancel_watchdog()
     print(f"benchmarking on {dev.platform}:{dev.device_kind}", file=sys.stderr)
 
     # host side: LMDB decode + tokenisation (once)
