@@ -199,13 +199,24 @@ def main(argv=None) -> int:
         )
         from multimodal_classification_tpu.training.train import Trainer
 
-        params = load_parameters(*default_parameter_paths(args.root))
-        ex = experiment_from_parameters(params, args.variant)
-        store = make_feature_store(args.variant, ex, args.root)
-        vocab = ex.data.tokenizer_vocab
-        if vocab and not os.path.isabs(vocab):
-            vocab = os.path.join(args.root, vocab)
-        tokenizer = load_tokenizer(vocab, ex.data.lowercase)
+        vocab = None
+        try:
+            params = load_parameters(*default_parameter_paths(args.root))
+            ex = experiment_from_parameters(params, args.variant)
+            store = make_feature_store(args.variant, ex, args.root)
+            vocab = ex.data.tokenizer_vocab
+            if vocab and not os.path.isabs(vocab):
+                vocab = os.path.join(args.root, vocab)
+            tokenizer = load_tokenizer(vocab, ex.data.lowercase)
+        except Exception:
+            if not (args.command == "serve" and args.artifact):
+                raise
+            # bare host: no project config — a self-contained artifact
+            # carries its own vocab; features must ride in the requests
+            logging.getLogger(__name__).info(
+                "no project config under %s — serving the artifact "
+                "self-contained", args.root)
+            tokenizer = store = None
 
         if args.command == "serve" and args.artifact:
             serving = load_artifact(args.artifact, tokenizer, store)
@@ -241,6 +252,7 @@ def main(argv=None) -> int:
                 manifest = export_artifact(
                     model, params_tree, args.out, quant=quant,
                     platforms=(args.platforms.split(",") if args.platforms else None),
+                    vocab_path=vocab, lowercase=ex.data.lowercase,
                     **common,
                 )
                 print(json.dumps(manifest, indent=2))

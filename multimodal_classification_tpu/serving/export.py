@@ -93,6 +93,8 @@ def export_artifact(
     int8_min_dim: int = 256,
     quant=None,
     platforms: Optional[Sequence[str]] = None,
+    vocab_path: Optional[str] = None,
+    lowercase: bool = True,
 ) -> Dict[str, Any]:
     """Serialize the serving eval step(s) + params into ``out_dir``.
 
@@ -100,7 +102,10 @@ def export_artifact(
     backend only; pass ``("tpu", "cpu")`` for a cross-platform artifact.
     ``quant`` overrides the freshly-built int8 tree — pass a CALIBRATED tree
     (``ops.quant.calibrate_quant_tree`` / ``ServingModel.calibrate``) to
-    export the static-activation-scale program.
+    export the static-activation-scale program. ``vocab_path`` embeds the
+    WordPiece vocab so the artifact is fully self-contained (a bare serving
+    host then needs no project config — :func:`load_artifact` with
+    ``tokenizer=None`` rebuilds it from the artifact).
     """
     from jax import export as jexport
 
@@ -141,9 +146,24 @@ def export_artifact(
             f.write(exp.serialize())
         programs[str(seq)] = fname
 
-    np.savez(os.path.join(out_dir, "params.npz"), **_flatten_params(params))
+    flat = _flatten_params(params)
+    np.savez(os.path.join(out_dir, "params.npz"), **flat)
     if quant is not None:
         np.savez(os.path.join(out_dir, "quant.npz"), **_flatten_params(quant))
+
+    vocab_file = None
+    if vocab_path:
+        import shutil
+
+        vocab_file = "vocab.txt"
+        shutil.copyfile(vocab_path, os.path.join(out_dir, vocab_file))
+
+    import hashlib
+
+    digest = hashlib.sha256()
+    for k in sorted(flat):
+        digest.update(k.encode())
+        digest.update(np.ascontiguousarray(flat[k]).tobytes())
 
     manifest = {
         "format_version": FORMAT_VERSION,
@@ -156,6 +176,9 @@ def export_artifact(
         "int8": bool(int8),
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "programs": programs,
+        "vocab": vocab_file,
+        "lowercase": bool(lowercase),
+        "params_sha256": digest.hexdigest(),
     }
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2)
@@ -171,8 +194,8 @@ class ExportedServingModel(ServingModel):
     the flax model.
     """
 
-    def __init__(self, artifact_dir: str, tokenizer, store=None,
-                 *, batch_size: Optional[int] = None):
+    def __init__(self, artifact_dir: str, tokenizer=None, store=None,
+                 *, batch_size: Optional[int] = None, verify: bool = True):
         from jax import export as jexport
 
         with open(os.path.join(artifact_dir, MANIFEST)) as f:
@@ -183,6 +206,16 @@ class ExportedServingModel(ServingModel):
             raise ValueError(
                 f"artifact was exported at batch {man['batch_size']}; "
                 f"re-export to serve at {batch_size}")
+        if tokenizer is None:
+            if not man.get("vocab"):
+                raise ValueError(
+                    "artifact has no embedded vocab (exported without "
+                    "vocab_path) — pass a tokenizer")
+            from multimodal_classification_tpu.data import load_tokenizer
+
+            tokenizer = load_tokenizer(
+                os.path.join(artifact_dir, man["vocab"]),
+                man.get("lowercase", True))
 
         # ServingModel.__init__ builds a traced step from a model — bypass it
         # and fill the same attributes from the manifest.
@@ -198,7 +231,18 @@ class ExportedServingModel(ServingModel):
         self.feature_dim = int(man["feature_dim"])
         self.batch_size = int(man["batch_size"])
         with np.load(os.path.join(artifact_dir, "params.npz")) as z:
-            self.params = _unflatten_params(dict(z))
+            flat = dict(z)
+        if verify and man.get("params_sha256"):
+            import hashlib
+
+            digest = hashlib.sha256()
+            for k in sorted(flat):
+                digest.update(k.encode())
+                digest.update(np.ascontiguousarray(flat[k]).tobytes())
+            if digest.hexdigest() != man["params_sha256"]:
+                raise ValueError("params.npz does not match the manifest "
+                                 "checksum — corrupt or tampered artifact")
+        self.params = _unflatten_params(flat)
         self._quant = None
         if man["int8"]:
             with np.load(os.path.join(artifact_dir, "quant.npz")) as z:
@@ -219,6 +263,11 @@ class ExportedServingModel(ServingModel):
         self.manifest = man
 
 
-def load_artifact(artifact_dir: str, tokenizer, store=None) -> ExportedServingModel:
-    """Load an exported artifact directory into a serving-ready model."""
+def load_artifact(artifact_dir: str, tokenizer=None, store=None) -> ExportedServingModel:
+    """Load an exported artifact directory into a serving-ready model.
+
+    ``tokenizer=None`` rebuilds the tokenizer from the artifact's embedded
+    vocab (exports made with ``vocab_path``); ``store=None`` serves requests
+    that carry inline ``features`` (unknown ids get the zero-feature
+    fallback)."""
     return ExportedServingModel(artifact_dir, tokenizer, store)

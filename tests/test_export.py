@@ -128,6 +128,47 @@ def test_exported_calibrated_int8_parity(setup, tmp_path):
     assert (ref.argmax(-1) == sm.predict(texts, insts).argmax(-1)).all()
 
 
+def test_self_contained_artifact_and_checksum(setup, tmp_path):
+    """Exports with vocab_path need NO tokenizer/store/config on the serving
+    host; params.npz is integrity-checked against the manifest sha256."""
+    model, params, store, tok, sm, *_ = setup
+    vocab_file = tmp_path / "vocab.txt"
+    from multimodal_classification_tpu.data import build_test_vocab
+
+    v = build_test_vocab()
+    vocab_file.write_text("\n".join(sorted(v, key=v.get)) + "\n")
+    out = str(tmp_path / "selfcontained")
+    kw = dict(max_seq_length=12, num_regions=6, feature_dim=32, batch_size=4,
+              seq_buckets=(8,))
+    manifest = export_artifact(model, params, out, vocab_path=str(vocab_file),
+                               **kw)
+    assert manifest["vocab"] == "vocab.txt" and manifest["params_sha256"]
+
+    loaded = load_artifact(out)  # no tokenizer, no store
+    texts = ["this is a hateful meme"]
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((6, 32)).astype(np.float32)
+    spatial = rng.uniform(0, 1, (6, 5)).astype(np.float32)
+    got = loaded.predict(texts, [{"features": feats, "spatial": spatial}])
+    # reference server must use the SAME file-loaded tokenizer (the test
+    # vocab's ids aren't contiguous, so the file round-trip renumbers them)
+    from multimodal_classification_tpu.data import load_tokenizer
+
+    sm_file = ServingModel(model, params, load_tokenizer(str(vocab_file), True),
+                           None, **kw)
+    ref = sm_file.predict(texts, [{"features": feats, "spatial": spatial}])
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+    # corrupt one param leaf: load must refuse
+    with np.load(os.path.join(out, "params.npz")) as z:
+        flat = dict(z)
+    k0 = sorted(flat)[0]
+    flat[k0] = flat[k0] + 1.0
+    np.savez(os.path.join(out, "params.npz"), **flat)
+    with pytest.raises(ValueError, match="checksum"):
+        load_artifact(out)
+
+
 def test_batch_size_mismatch_rejected(setup):
     *_, tok_store_etc = setup
     model, params, store, tok, sm, out, _ = setup
