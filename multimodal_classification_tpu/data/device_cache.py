@@ -358,7 +358,12 @@ def make_sharded_device_train_step(model, loss_fn, tx, mesh,
     slice from its local dataset shard (shard_map — no data collectives on
     the input path), then the usual dp training step; gradient all-reduce is
     inserted by XLA from the shardings. ``grads_dtype="bfloat16"`` also
-    halves the all-reduce bytes on ICI."""
+    halves the all-reduce bytes on ICI.
+
+    Composes with tensor parallelism: on a dp × mp mesh the dataset stays
+    dp-sharded (replicated over mp) and the params carry the Megatron TP
+    rules (parallel/mesh.py) — the shard_map here only touches data +
+    indices, so GSPMD partitions the model math over mp independently."""
     from multimodal_classification_tpu.training.train import (
         TrainState, cast_grads, model_inputs,
     )

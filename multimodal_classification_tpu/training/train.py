@@ -449,8 +449,9 @@ class Trainer:
         Multi-chip: with a dp>1 mesh the dataset's example axis is sharded
         over dp, each chip gathers its batch slice from its local shard
         (shard_map, no input collectives), and gradients all-reduce over ICI
-        — SURVEY.md §7.4. mp>1 is not supported on this path (params are
-        replicated); use fit() for tensor parallelism.
+        — SURVEY.md §7.4. mp>1 composes: params take the Megatron TP rules
+        (parallel/mesh.py) while the dataset stays dp-sharded (replicated
+        over mp), and XLA inserts the row-parallel all-reduces.
 
         Preemption/resume: the full train state is checkpointed as "last" on
         SIGTERM (graceful-preemption window), on early stop, and at the final
@@ -472,13 +473,12 @@ class Trainer:
         )
 
         dp = self.mesh.shape.get("dp", 1)
-        if self.mesh.shape.get("mp", 1) != 1:
-            raise ValueError("device-resident training shards data over dp only; "
-                             "use fit() for mp>1 meshes")
+        mp = self.mesh.shape.get("mp", 1)
+        multi = dp * mp > 1
         tcfg = self.tcfg
         seed = tcfg.seed if rng_seed is None else rng_seed
         dtype = jnp.bfloat16 if self.cfg.model.dtype == "bfloat16" else jnp.float32
-        if dp > 1:
+        if multi:
             train_data = build_sharded_device_data(train_ds, self.mesh, feature_dtype=dtype)
             val_data = build_sharded_device_data(val_ds, self.mesh, feature_dtype=dtype)
         else:
@@ -499,14 +499,15 @@ class Trainer:
         steps_per_epoch = max(train_data.num_examples // tcfg.batch_size, 1)
         total_steps = steps_per_epoch * tcfg.num_epochs
         tx = make_optimizer(tcfg, total_steps, init_params, self.cfg.freeze_bert_layers)
-        if dp > 1:
-            # params replicated over the mesh so shard_map's closed-over data
-            # sharding and the batch dp sharding compose
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        if multi:
+            # params carry the TP rules (replicated when mp == 1 — every rule
+            # spec is size-1 on a degenerate mp axis); the shard_map gather
+            # only touches data + indices, so the dp batch sharding and the
+            # mp param sharding compose inside one jitted program
+            from multimodal_classification_tpu.parallel.mesh import shard_params
 
-            rep = NamedSharding(self.mesh, P())
-            init_params = jax.tree.map(lambda x: jax.device_put(x, rep), init_params)
-            opt_state = jax.jit(tx.init, out_shardings=rep)(init_params)
+            init_params = shard_params(init_params, self.mesh)
+            opt_state = jax.jit(tx.init, out_shardings=None)(init_params)
             step = jax.jit(
                 make_sharded_device_train_step(self.model, self.loss_fn, tx,
                                                self.mesh, seq_bucket=bucket,
@@ -528,7 +529,7 @@ class Trainer:
         rng = jax.random.key(seed, impl=tcfg.rng_impl)
 
         def _val_batches(n):
-            if dp > 1:
+            if multi:
                 yield from sharded_epoch_indices(n, dp, tcfg.batch_size, 0, seed=0,
                                                  drop_last=False)
             else:
@@ -541,7 +542,7 @@ class Trainer:
             for idx in _val_batches(n):
                 logits = np.asarray(eval_step(params, val_data, jnp.asarray(idx)))
                 logits_all.append(logits)
-                if dp > 1:
+                if multi:
                     # shard-local rows: global example = shard * (n/dp) + idx
                     shard_n = n // dp
                     gidx = (np.arange(dp)[:, None] * shard_n + idx).reshape(-1)
@@ -551,7 +552,7 @@ class Trainer:
                     labels_all.append(labels_host[idx])
             logits = np.concatenate(logits_all)
             labels = np.concatenate(labels_all)
-            if dp == 1:
+            if not multi:
                 logits, labels = logits[:n], labels[:n]
             else:
                 # drop wrap-padded duplicates from the final partial batch
@@ -563,7 +564,7 @@ class Trainer:
             return binary_metrics(labels, p[:, 1], loss=float(nll))
 
         def _train_batches(epoch):
-            if dp > 1:
+            if multi:
                 yield from sharded_epoch_indices(
                     train_data.num_examples, dp, tcfg.batch_size, epoch, seed=seed
                 )
@@ -574,20 +575,29 @@ class Trainer:
         best_auroc, patience, best_epoch = 0.0, 0, 0
         start_epoch = 1
         if resume and self.ckpt.exists("last"):
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            rep = NamedSharding(self.mesh, P())
-            put = (lambda x: jax.device_put(x, rep)) if dp > 1 else jax.device_put
             template = {
                 "state": state,
                 "meta": {"epoch": 0, "best_auroc": 0.0, "patience": 0, "best_epoch": 0},
             }
             restored = self.ckpt.restore("last", template)
-            state = TrainState(
-                put(restored["state"].step),
-                jax.tree.map(put, restored["state"].params),
-                jax.tree.map(put, restored["state"].opt_state),
-            )
+            if multi:
+                from multimodal_classification_tpu.parallel.mesh import replicated
+
+                # re-place each restored leaf exactly where the fresh init put
+                # it (params: TP rules; opt_state: whatever tx.init propagated)
+                state = TrainState(
+                    jax.device_put(restored["state"].step, replicated(self.mesh)),
+                    jax.tree.map(lambda x, ref: jax.device_put(x, ref.sharding),
+                                 restored["state"].params, state.params),
+                    jax.tree.map(lambda x, ref: jax.device_put(x, ref.sharding),
+                                 restored["state"].opt_state, state.opt_state),
+                )
+            else:
+                state = TrainState(
+                    jax.device_put(restored["state"].step),
+                    jax.tree.map(jax.device_put, restored["state"].params),
+                    jax.tree.map(jax.device_put, restored["state"].opt_state),
+                )
             meta = restored["meta"]
             start_epoch = int(meta["epoch"]) + 1
             best_auroc = float(meta["best_auroc"])

@@ -287,6 +287,59 @@ def test_trainer_fit_device_resident_multichip():
     assert history["val_auroc"][-1] > 0.9
 
 
+def test_trainer_fit_device_resident_dp_mp(monkeypatch):
+    """fit_device_resident on a dp=4 × mp=2 mesh: dataset dp-sharded
+    (replicated over mp), params on the Megatron TP rules, one jitted program
+    — and it still learns the injected label signal."""
+    import tempfile
+
+    from multimodal_classification_tpu.parallel import mesh as mesh_mod
+    from multimodal_classification_tpu.parallel.mesh import build_mesh
+    from multimodal_classification_tpu.training.train import Trainer
+
+    cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False,
+                              v_feature_size=32)
+    model = ViLBERTForClassification(cfg)
+    df = make_memes_df(64)
+    ids = df["id"].tolist()
+    feats, spatial = make_feature_arrays(ids, num_regions=6, dim=32)
+    feats = feats + df["label"].to_numpy()[:, None, None] * 3.0
+    store = DictFeatureStore(
+        {i: feats[k] for k, i in enumerate(ids)},
+        {i: spatial[k] for k, i in enumerate(ids)},
+    )
+    tok = WordPieceTokenizer(build_test_vocab())
+    ds = MemesDataset(df, tok, store, max_seq_length=12, max_regions=6, feature_dim=32)
+
+    mesh = build_mesh((4, 2))
+    tcfg = TrainingConfig(batch_size=16, num_epochs=4, learning_rate=1e-3,
+                          warmup_steps=2, mesh_shape=(4, 2))
+    ex = ExperimentConfig(name="t", model=cfg, training=tcfg, data=DataConfig())
+    sharded_trees = []
+    real_shard_params = mesh_mod.shard_params
+    monkeypatch.setattr(
+        mesh_mod, "shard_params",
+        lambda p, m, rules=None: sharded_trees.append(real_shard_params(p, m, rules))
+        or sharded_trees[-1],
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer = Trainer(model, ex, mesh=mesh, checkpoint_dir=tmp)
+        batch0 = {k: np.stack([ds.get(i)[k] for i in range(4)]) for k in ds.get(0)}
+        params = model.init(jax.random.key(0), **model_inputs(batch0))["params"]
+        state, history = trainer.fit_device_resident(ds, ds, params)
+    # the params the trainer actually trained on carry the TP rules: a
+    # column-parallel FFN kernel lives on all 8 devices, split over mp
+    assert sharded_trees, "fit_device_resident never applied the TP rules"
+    from jax.sharding import PartitionSpec as P
+
+    enc = sharded_trees[0]["bert"]["encoder"]
+    kernel = enc["layer_0"]["intermediate"]["dense"]["kernel"]
+    assert len(kernel.sharding.device_set) == 8
+    assert kernel.sharding.spec == P(None, "mp")
+    assert np.isfinite(history["train_loss"]).all()
+    assert history["val_auroc"][-1] > 0.9
+
+
 def test_sharded_epoch_indices_cover_local_shards():
     from multimodal_classification_tpu.data.device_cache import sharded_epoch_indices
 
