@@ -175,10 +175,14 @@ def setup(k: int = 10):
     grads_dtype = os.environ.get("BENCH_GRADS_DTYPE", "float32")
     unroll = int(os.environ.get("BENCH_UNROLL", "1"))
     pack_carry = os.environ.get("BENCH_PACK", "0") == "1"
+    from multimodal_classification_tpu.utils.xla_options import (
+        compiler_options_from_env)
+
     step = jax.jit(make_device_multi_step(model, loss_fn, tx, seq_bucket=bucket,
                                           grads_dtype=grads_dtype, unroll=unroll,
                                           pack_carry=pack_carry),
-                   donate_argnums=0)
+                   donate_argnums=0,
+                   compiler_options=compiler_options_from_env())
     rng_key = jax.random.key(1, impl="rbg")
 
     def index_blocks():

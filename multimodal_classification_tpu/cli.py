@@ -20,6 +20,14 @@ def _calibration_examples(params, root: str, n: int):
 
 
 def main(argv=None) -> int:
+    # Persistent XLA compilation cache by default: on the remote-compile TPU
+    # relay a full-model compile costs minutes, and every subcommand
+    # (run/serve/bench/export) re-pays it otherwise. Respected only if the
+    # user hasn't pointed the cache elsewhere. jax reads this lazily at
+    # first compile, so setting it here (before any jax import) is safe.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
     parser = argparse.ArgumentParser(
         prog="mmc-tpu",
         description="TPU-native multimodal classification framework",

@@ -255,13 +255,20 @@ class VisualEmbeddings(nn.Module):
 
     @nn.compact
     def __call__(self, features, spatial, deterministic: bool):
-        img = make_dense(self.v_hidden_size, jnp.float32, "image_embeddings")(
-            features.astype(jnp.float32)
+        # The 2048→1024 image projection follows the model compute dtype: an
+        # f32×f32 dot runs at ~1/8 the MXU's bf16 rate on TPU, and the HLO
+        # roofline attribution showed it as the single most expensive eval op
+        # (~1 ms at batch 64) when pinned to f32. bf16 operands still
+        # accumulate in f32 inside the MXU; the result is summed and
+        # LayerNormed in f32 below. The spatial projection (K=5, negligible
+        # FLOPs, precision-sensitive box coordinates) stays f32.
+        img = make_dense(self.v_hidden_size, self.dtype, "image_embeddings")(
+            features.astype(self.dtype)
         )
         loc = make_dense(self.v_hidden_size, jnp.float32, "image_location_embeddings")(
             spatial.astype(jnp.float32)
         )
-        h = img + loc
+        h = img.astype(jnp.float32) + loc
         if self.use_position_embeddings:
             n = features.shape[-2]
             pos_ids = jnp.arange(n)[None, :]

@@ -49,8 +49,13 @@ def main() -> int:
     else:
         cfg = facebook_vilbert_config()
     model = ViLBERTForClassification(cfg)
-    eval_step = jax.jit(make_eval_step(model))
-    quant_step = jax.jit(make_quant_eval_step(model))
+    from multimodal_classification_tpu.utils.xla_options import (
+        compiler_options_from_env,
+    )
+
+    copts = compiler_options_from_env()
+    eval_step = jax.jit(make_eval_step(model), compiler_options=copts)
+    quant_step = jax.jit(make_quant_eval_step(model), compiler_options=copts)
 
     batches = tuple(
         int(b) for b in os.environ.get("SERVING_BATCHES", "1,16,64").split(",")

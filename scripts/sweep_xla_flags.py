@@ -1,25 +1,32 @@
 #!/usr/bin/env python
-"""Sweep XLA flag sets over the train / serving benchmarks (subprocess per
-flag set — XLA_FLAGS are read once at backend init, so every configuration
-needs its own process AND its own compilation-cache directory).
+"""Sweep XLA compiler-option sets over the train / serving benchmarks
+(subprocess per set, each with its own compilation-cache directory).
 
 Motivation: the batch-64 eval XPlane profile (CLAUDE.md "Eval profile after
 the XLA flip") shows the big dense matmuls at ~55% of MXU peak with no single
 hotspot — the classic signature of scheduling/prefetch gaps rather than a bad
-kernel. The levers for that live behind XLA flags, not source changes, so
-this harness makes an on-hardware A/B cheap to run and honest to read
+kernel. The levers for that live behind XLA tuning knobs, not source changes,
+so this harness makes an on-hardware A/B cheap to run and honest to read
 (same process count, same measurement path, fresh cache per config).
+
+Mechanism: PJRT ``compiler_options`` via the ``MMC_COMPILER_OPTIONS`` env var
+(utils/xla_options.py), NOT ``XLA_FLAGS`` — measured fact on the axon relay:
+XLA_FLAGS is parsed by the LOCAL process whose CPU-only registry hard-aborts
+on any ``--xla_tpu_*`` name, while compiler_options travel inside the compile
+request and are validated by the REMOTE compiler (a bogus name errors
+remotely, so accepted options are real). compiler_options also work on
+ordinary TPU hosts, so the harness is portable.
 
 Usage:
   python scripts/sweep_xla_flags.py serve        # eval path @ batch 64
   python scripts/sweep_xla_flags.py train        # bench.py train step
   python scripts/sweep_xla_flags.py serve --sets baseline,lhs
-  python scripts/sweep_xla_flags.py serve --extra "--xla_foo=1" --name foo
+  python scripts/sweep_xla_flags.py serve --extra "xla_foo=1" --name foo
 
-Each run prints the benchmark's own JSON lines tagged with the flag-set name;
+Each run prints the benchmark's own JSON lines tagged with the set name;
 a final table compares the headline number (memes/s for train, batch-64
-throughput for serve). Expect ~3-8 min of remote compile per NEW flag set on
-the relay; re-runs of a set hit its cache dir.
+throughput for serve). Expect ~3-8 min of remote compile per NEW option set
+on the relay; re-runs of a set hit its cache dir.
 """
 
 from __future__ import annotations
@@ -32,28 +39,30 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Candidate sets. Unknown/renamed flags make the child fail fast — the sweep
-# reports the failure and moves on, so stale names cost one subprocess, not
-# the sweep. Rationale per set:
+# Candidate sets (key=value[,key=value] — parsed by utils/xla_options.py).
+# Unknown/renamed options make the child fail fast at its first compile — the
+# sweep reports the failure and moves on. Rationale per set:
 #   lhs        — latency-hiding scheduler: overlaps weight DMA with compute;
 #                directly targets "weight-prefetch gaps" in the eval profile.
 #   vmem64/128 — larger scoped VMEM lets the fusion scheduler double-buffer
 #                bigger matmul tiles (default is conservative).
-#   flash      — both of the above.
+#   lhs_vmem64 — both of the above.
 FLAG_SETS = {
     "baseline": "",
-    "lhs": "--xla_tpu_enable_latency_hiding_scheduler=true",
-    "vmem64": "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "vmem128": "--xla_tpu_scoped_vmem_limit_kib=131072",
-    "lhs_vmem64": ("--xla_tpu_enable_latency_hiding_scheduler=true "
-                   "--xla_tpu_scoped_vmem_limit_kib=65536"),
+    "lhs": "xla_tpu_enable_latency_hiding_scheduler=true",
+    "vmem64": "xla_tpu_scoped_vmem_limit_kib=65536",
+    "vmem128": "xla_tpu_scoped_vmem_limit_kib=131072",
+    "lhs_vmem64": ("xla_tpu_enable_latency_hiding_scheduler=true,"
+                   "xla_tpu_scoped_vmem_limit_kib=65536"),
 }
 
 
 def run_one(mode: str, name: str, flags: str, timeout_s: int) -> list:
     env = dict(os.environ)
-    prev = env.get("XLA_FLAGS", "")
-    env["XLA_FLAGS"] = f"{prev} {flags}".strip()
+    if flags:
+        env["MMC_COMPILER_OPTIONS"] = flags
+    else:
+        env.pop("MMC_COMPILER_OPTIONS", None)
     env["JAX_COMPILATION_CACHE_DIR"] = f"/tmp/jax_cache_sweep_{name}"
     if mode == "serve":
         cmd = [sys.executable, os.path.join(ROOT, "scripts", "bench_serving.py")]
@@ -61,7 +70,7 @@ def run_one(mode: str, name: str, flags: str, timeout_s: int) -> list:
         env.setdefault("SERVING_BATCHES", "64")
     else:
         cmd = [sys.executable, os.path.join(ROOT, "bench.py")]
-    print(f"== [{name}] XLA_FLAGS='{flags}'", file=sys.stderr, flush=True)
+    print(f"== [{name}] MMC_COMPILER_OPTIONS='{flags}'", file=sys.stderr, flush=True)
     try:
         proc = subprocess.run(cmd, env=env, cwd=ROOT, capture_output=True,
                               text=True, timeout=timeout_s)

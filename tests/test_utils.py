@@ -121,3 +121,44 @@ class TestProfiling:
         s = t.stats()
         assert s["steps"] == 3
         assert s["mean_s"] > 0
+
+
+class TestXlaOptions:
+    """MMC_COMPILER_OPTIONS parsing (utils/xla_options.py) — the portable
+    replacement for XLA_FLAGS, which the axon relay client cannot carry
+    (local flag registry aborts on --xla_tpu_* names)."""
+
+    def test_parse_kv_pairs(self):
+        from multimodal_classification_tpu.utils.xla_options import (
+            parse_compiler_options)
+
+        assert parse_compiler_options(
+            "xla_tpu_scoped_vmem_limit_kib=65536, a=b"
+        ) == {"xla_tpu_scoped_vmem_limit_kib": "65536", "a": "b"}
+
+    def test_parse_json(self):
+        from multimodal_classification_tpu.utils.xla_options import (
+            parse_compiler_options)
+
+        assert parse_compiler_options('{"k": 1, "f": true}') == {"k": "1", "f": "true"}
+
+    def test_parse_errors(self):
+        import pytest
+
+        from multimodal_classification_tpu.utils.xla_options import (
+            parse_compiler_options)
+
+        with pytest.raises(ValueError):
+            parse_compiler_options("no_equals_sign")
+        with pytest.raises(ValueError):
+            parse_compiler_options("[1, 2]")
+
+    def test_env_roundtrip(self, monkeypatch):
+        from multimodal_classification_tpu.utils import xla_options
+
+        monkeypatch.delenv(xla_options.ENV_VAR, raising=False)
+        assert xla_options.compiler_options_from_env() is None
+        monkeypatch.setenv(xla_options.ENV_VAR, "x=1")
+        assert xla_options.compiler_options_from_env() == {"x": "1"}
+        monkeypatch.setenv(xla_options.ENV_VAR, "")
+        assert xla_options.compiler_options_from_env() is None
