@@ -128,6 +128,117 @@ def convert_facebook_vilbert(
     return p
 
 
+def _get(tree: Mapping[str, Any], path: Tuple[str, ...]) -> np.ndarray:
+    node: Any = tree
+    for p in path:
+        node = node[p]
+    return np.asarray(node, np.float32)
+
+
+def export_facebook_vilbert(
+    params: Mapping[str, Any], cfg: ViLBERTConfig
+) -> Dict[str, np.ndarray]:
+    """Reverse converter: our Flax param tree → the Facebook-arch torch
+    ``state_dict`` layout (the exact inverse of :func:`convert_facebook_vilbert`).
+
+    Lets a model trained in this framework be loaded by the reference stack
+    (its ``load_trained_model``, nodes.py:325-348, does
+    ``load_state_dict(strict=False)`` on exactly these keys) or by any other
+    consumer of Facebook-layout ViLBERT checkpoints. The two ``biOutput.
+    q_dense1/q_dense2`` projections exist in every upstream checkpoint but are
+    never applied in the reference forward (vilbert_facebook_arch.py:324-338),
+    so we have no values for them — they are exported as zeros to keep strict
+    loaders happy.
+
+    Returns float32 numpy arrays (torch Linear weight = kernel.T, LayerNorm
+    weight = scale, Embedding weight = embedding).
+    """
+    sd: Dict[str, np.ndarray] = {}
+
+    def put(key: str, arr: np.ndarray):
+        # np.array(copy=True): torch.from_numpy needs a writable owner, and
+        # flax leaves arrive as read-only views of device buffers
+        sd[key] = np.ascontiguousarray(np.array(arr, np.float32))
+
+    def linear(key: str, prefix: Tuple[str, ...]):
+        put(key + ".weight", _get(params, prefix + ("kernel",)).T)
+        put(key + ".bias", _get(params, prefix + ("bias",)))
+
+    def layernorm(key: str, prefix: Tuple[str, ...]):
+        put(key + ".weight", _get(params, prefix + ("scale",)))
+        put(key + ".bias", _get(params, prefix + ("bias",)))
+
+    def embed(key: str, prefix: Tuple[str, ...]):
+        put(key + ".weight", _get(params, prefix + ("embedding",)))
+
+    def bert_layer(torch_prefix: str, flax_prefix: Tuple[str, ...]):
+        for qkv in ("query", "key", "value"):
+            linear(f"{torch_prefix}.attention.self.{qkv}", flax_prefix + ("attention", qkv))
+        linear(f"{torch_prefix}.attention.output.dense", flax_prefix + ("attention_output", "dense"))
+        layernorm(f"{torch_prefix}.attention.output.LayerNorm", flax_prefix + ("attention_output", "LayerNorm"))
+        linear(f"{torch_prefix}.intermediate.dense", flax_prefix + ("intermediate", "dense"))
+        linear(f"{torch_prefix}.output.dense", flax_prefix + ("output", "dense"))
+        layernorm(f"{torch_prefix}.output.LayerNorm", flax_prefix + ("output", "LayerNorm"))
+
+    for name in ("word_embeddings", "position_embeddings", "token_type_embeddings"):
+        embed(f"bert.embeddings.{name}", ("bert", "embeddings", name))
+    layernorm("bert.embeddings.LayerNorm", ("bert", "embeddings", "LayerNorm"))
+
+    linear("bert.v_embeddings.image_embeddings", ("bert", "v_embeddings", "image_embeddings"))
+    linear(
+        "bert.v_embeddings.image_location_embeddings",
+        ("bert", "v_embeddings", "image_location_embeddings"),
+    )
+    layernorm("bert.v_embeddings.LayerNorm", ("bert", "v_embeddings", "LayerNorm"))
+
+    for i in range(cfg.num_hidden_layers):
+        bert_layer(f"bert.encoder.layer.{i}", ("bert", "encoder", f"layer_{i}"))
+    for i in range(cfg.v_num_hidden_layers):
+        bert_layer(f"bert.encoder.v_layer.{i}", ("bert", "encoder", f"v_layer_{i}"))
+
+    h, vh, bi = cfg.hidden_size, cfg.v_hidden_size, cfg.bi_hidden_size
+    for i in range(len(cfg.co_attention_text_layers)):
+        base = f"bert.encoder.c_layer.{i}"
+        cl = ("bert", "encoder", f"c_layer_{i}")
+        for proj in ("query1", "key1", "value1", "query2", "key2", "value2"):
+            linear(f"{base}.biattention.{proj}", cl + (proj,))
+        linear(f"{base}.biOutput.dense1", cl + ("v_output_attn", "dense"))
+        layernorm(f"{base}.biOutput.LayerNorm1", cl + ("v_output_attn", "LayerNorm"))
+        linear(f"{base}.biOutput.dense2", cl + ("t_output_attn", "dense"))
+        layernorm(f"{base}.biOutput.LayerNorm2", cl + ("t_output_attn", "LayerNorm"))
+        put(f"{base}.biOutput.q_dense1.weight", np.zeros((vh, bi)))
+        put(f"{base}.biOutput.q_dense1.bias", np.zeros((vh,)))
+        put(f"{base}.biOutput.q_dense2.weight", np.zeros((h, bi)))
+        put(f"{base}.biOutput.q_dense2.bias", np.zeros((h,)))
+        linear(f"{base}.v_intermediate.dense", cl + ("v_intermediate", "dense"))
+        linear(f"{base}.v_output.dense", cl + ("v_output", "dense"))
+        layernorm(f"{base}.v_output.LayerNorm", cl + ("v_output", "LayerNorm"))
+        linear(f"{base}.t_intermediate.dense", cl + ("t_intermediate", "dense"))
+        linear(f"{base}.t_output.dense", cl + ("t_output", "dense"))
+        layernorm(f"{base}.t_output.LayerNorm", cl + ("t_output", "LayerNorm"))
+
+    linear("bert.t_pooler.dense", ("bert", "t_pooler", "dense"))
+    linear("bert.v_pooler.dense", ("bert", "v_pooler", "dense"))
+
+    if "classifier_dense" in params:
+        linear("classifier.1", ("classifier_dense",))
+        linear("classifier.4", ("classifier_out",))
+    return sd
+
+
+def save_reference_checkpoint(
+    path: str, params: Mapping[str, Any], cfg: ViLBERTConfig, metrics=None
+) -> str:
+    """Write our params as the reference's ``save_model`` artifact —
+    ``{"model_state_dict": ..., "metrics": ...}`` (nodes.py:953-964) — so the
+    reference's validate/inference pipelines can consume a model trained here."""
+    import torch
+
+    sd = {k: torch.from_numpy(v) for k, v in export_facebook_vilbert(params, cfg).items()}
+    torch.save({"model_state_dict": sd, "metrics": dict(metrics or {})}, path)
+    return path
+
+
 def fabricate_facebook_state_dict(cfg, seed: int = 0, with_head: bool = True):
     """Random torch state dict with the EXACT Facebook-arch key layout
     (vilbert_facebook_arch.py:7-21; what ``load_facebook_weights`` consumes).

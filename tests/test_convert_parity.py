@@ -118,6 +118,98 @@ def test_forward_parity(reference_pair, rng):
     np.testing.assert_allclose(np.asarray(fout), tout, rtol=1e-4, atol=1e-4)
 
 
+def test_reverse_export_round_trip(reference_pair):
+    """flax → torch layout is the exact inverse of torch → flax: exporting the
+    converted params reproduces the reference state dict key-for-key (the dead
+    biOutput.q_dense* gates come back as zeros — never applied upstream)."""
+    from multimodal_classification_tpu.models.convert import export_facebook_vilbert
+
+    tmodel, _, params, cfg = reference_pair
+    ref_sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    out = export_facebook_vilbert(params, cfg)
+
+    assert set(out) == set(ref_sd)
+    for k, v in out.items():
+        if ".q_dense" in k:
+            assert not v.any()
+        else:
+            np.testing.assert_allclose(v, ref_sd[k], rtol=1e-6, atol=1e-6, err_msg=k)
+
+
+def test_reverse_export_torch_forward_parity(reference_pair, rng):
+    """A model with OUR weights, exported to the reference layout and strict-
+    loaded into the reference torch module, computes the same logits — i.e. a
+    model trained here is consumable by the reference stack."""
+    from multimodal_classification_tpu.models.convert import export_facebook_vilbert
+
+    tmodel, fmodel, _, cfg = reference_pair
+    batch = dummy_batch(cfg, 2, 10, 5)
+    params = fmodel.init(jax.random.key(7), **batch)["params"]
+
+    import copy
+
+    sd = {k: torch.from_numpy(v) for k, v in export_facebook_vilbert(params, cfg).items()}
+    tmodel = copy.deepcopy(tmodel)  # don't mutate the module-scoped fixture
+    tmodel.load_state_dict(sd, strict=True)
+    tmodel.eval()
+
+    b, s, n = 2, 10, 5
+    input_ids = rng.integers(0, cfg.vocab_size, (b, s))
+    attention_mask = np.ones((b, s), np.float32)
+    token_type_ids = np.zeros((b, s), np.int64)
+    feats = rng.standard_normal((b, n, cfg.v_feature_size)).astype(np.float32)
+    vmask = np.ones((b, n), np.float32)
+    spatial = rng.uniform(0, 1, (b, n, 5)).astype(np.float32)
+
+    with torch.no_grad():
+        tout = tmodel(
+            input_ids=torch.from_numpy(input_ids),
+            attention_mask=torch.from_numpy(attention_mask),
+            token_type_ids=torch.from_numpy(token_type_ids),
+            visual_features=torch.from_numpy(feats),
+            visual_attention_mask=torch.from_numpy(vmask),
+            spatial_locations=torch.from_numpy(spatial),
+        )["logits"].numpy()
+    fout = fmodel.apply(
+        {"params": params},
+        input_ids=input_ids.astype(np.int32),
+        attention_mask=attention_mask,
+        token_type_ids=token_type_ids.astype(np.int32),
+        visual_features=feats,
+        visual_attention_mask=vmask,
+        spatial_locations=spatial,
+    )["logits"]
+    np.testing.assert_allclose(np.asarray(fout), tout, rtol=1e-4, atol=1e-4)
+
+
+def test_save_reference_checkpoint_round_trip(reference_pair, tmp_path):
+    """The written artifact is the reference's save_model format and survives
+    load_torch_checkpoint → convert_facebook_vilbert unchanged."""
+    from multimodal_classification_tpu.models.convert import (
+        convert_facebook_vilbert,
+        load_torch_checkpoint,
+        save_reference_checkpoint,
+    )
+
+    _, _, params, cfg = reference_pair
+    path = str(tmp_path / "vilbert_best.pt")
+    save_reference_checkpoint(path, params, cfg, metrics={"val_auroc": 0.75})
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    assert raw["metrics"] == {"val_auroc": 0.75}
+    back = convert_facebook_vilbert(load_torch_checkpoint(path), cfg)
+    np.testing.assert_allclose(
+        back["bert"]["t_pooler"]["dense"]["kernel"],
+        np.asarray(params["bert"]["t_pooler"]["dense"]["kernel"], np.float32),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        back["classifier_out"]["bias"],
+        np.asarray(params["classifier_out"]["bias"], np.float32),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
 def test_pretraining_checkpoint_skips_head(reference_pair):
     """cls.* keys are dropped; a headless checkpoint keeps the fresh head."""
     tmodel, fmodel, _, cfg = reference_pair
