@@ -92,6 +92,13 @@ class ViLBERTConfig:
     # batched fusions, and the fused backward recomputes scores) — so off by
     # default.
     pallas_attention_training: bool = False
+    # Fuse each FFN's two matmuls into one VMEM-resident Pallas kernel at
+    # EVAL time (gelu(x@W1+b1)@W2+b2 with the [rows, intermediate] activation
+    # never leaving VMEM). Targets the serving/eval HBM bound the roofline
+    # attribution identified (scripts/analyze_eval_hlo.py); training keeps the
+    # unfused XLA path (the kernel's backward is recompute-based). No effect
+    # off TPU or on int8-quantized layers.
+    fused_ffn: bool = False
     # Rematerialise encoder layers to trade FLOPs for HBM
     remat: bool = False
 

@@ -41,11 +41,21 @@ class QuantizableDense(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         kernel = self.param(
             "kernel", DEFAULT_INIT, (jnp.shape(x)[-1], self.features), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        if return_params:
+            # escape hatch for fused multi-layer kernels (ops.pallas_kernels.
+            # fused_ffn): hand the raw fp32 params to the caller so it can run
+            # both matmuls in one VMEM-resident pass. Param creation above is
+            # identical to the compute path, so checkpoints are unaffected.
+            # Refused (None) when this layer is int8-quantized or being
+            # calibrated — those paths must go through the compute body.
+            if self.has_variable("quant", "qkernel") or self.is_mutable_collection("calib"):
+                return None
+            return kernel, bias
         if self.is_mutable_collection("calib"):
             # calibration pass (ops.quant.calibrate_quant_tree): record the
             # largest input magnitude this layer sees across the batches
@@ -156,8 +166,12 @@ class ResidualOutput(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, hidden, residual, deterministic: bool):
-        h = make_dense(self.hidden_size, self.dtype, "dense")(hidden)
+    def __call__(self, hidden, residual=None, deterministic: bool = True,
+                 params_only: bool = False, precomputed=None):
+        dense = make_dense(self.hidden_size, self.dtype, "dense")
+        if params_only:
+            return dense(hidden, return_params=True)
+        h = precomputed if precomputed is not None else dense(hidden)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         out = make_layernorm("LayerNorm")(h.astype(jnp.float32) + residual.astype(jnp.float32))
         return out.astype(self.dtype)
@@ -170,9 +184,40 @@ class Intermediate(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, hidden):
-        h = make_dense(self.intermediate_size, self.dtype, "dense")(hidden)
-        return nn.gelu(h, approximate=False)
+    def __call__(self, hidden, params_only: bool = False):
+        dense = make_dense(self.intermediate_size, self.dtype, "dense")
+        if params_only:
+            return dense(hidden, return_params=True)
+        return nn.gelu(dense(hidden), approximate=False)
+
+
+def apply_ffn(inter_mod: "Intermediate", out_mod: "ResidualOutput", x,
+              deterministic: bool, fused: bool):
+    """FFN block ``LN(x + dropout(gelu(x@W1+b1)@W2+b2))`` through bound
+    ``Intermediate``/``ResidualOutput`` modules.
+
+    With ``fused`` (eval-time, config.fused_ffn) the two matmuls run as one
+    VMEM-resident Pallas kernel — the [rows, intermediate] activation never
+    round-trips HBM, the avoidable half of the FFN's memory traffic
+    (reference chain: BertIntermediate→BertOutput, vilbert_core.py:167-201).
+    Param layout is identical either way; falls back to the unfused path off
+    TPU, at unsupported shapes, or when the denses are int8-quantized.
+    """
+    if fused:
+        p1 = inter_mod(x, params_only=True)
+        # the probe only supplies the output dense's in-features (= the
+        # intermediate width) for shape inference; no compute happens
+        p2 = (
+            out_mod(jnp.zeros((1, p1[0].shape[1]), x.dtype), params_only=True)
+            if p1 is not None else None
+        )
+        if p2 is not None:
+            from multimodal_classification_tpu.ops.pallas_kernels import maybe_fused_ffn
+
+            thunk = maybe_fused_ffn(x, p1[0], p1[1], p2[0], p2[1])
+            if thunk is not None:
+                return out_mod(x, x, deterministic, precomputed=thunk())
+    return out_mod(inter_mod(x), x, deterministic)
 
 
 class TransformerLayer(nn.Module):
@@ -185,6 +230,7 @@ class TransformerLayer(nn.Module):
     attention_dropout: float
     dtype: jnp.dtype = jnp.bfloat16
     attention_impl: str = "auto"
+    fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, hidden, bias, deterministic: bool):
@@ -199,10 +245,11 @@ class TransformerLayer(nn.Module):
         attn_out = ResidualOutput(
             self.hidden_size, self.hidden_dropout, self.dtype, name="attention_output"
         )(attn_ctx, hidden, deterministic)
-        inter = Intermediate(self.intermediate_size, self.dtype, name="intermediate")(attn_out)
-        return ResidualOutput(
-            self.hidden_size, self.hidden_dropout, self.dtype, name="output"
-        )(inter, attn_out, deterministic)
+        return apply_ffn(
+            Intermediate(self.intermediate_size, self.dtype, name="intermediate"),
+            ResidualOutput(self.hidden_size, self.hidden_dropout, self.dtype, name="output"),
+            attn_out, deterministic, self.fused_ffn,
+        )
 
 
 class TextEmbeddings(nn.Module):

@@ -34,6 +34,7 @@ from multimodal_classification_tpu.models.layers import (
     TextEmbeddings,
     TransformerLayer,
     VisualEmbeddings,
+    apply_ffn,
     make_dense,
 )
 from multimodal_classification_tpu.ops.attention import (
@@ -100,14 +101,19 @@ class BiAttentionBlock(nn.Module):
             cfg.hidden_size, cfg.hidden_dropout_prob, self.dtype, name="t_output_attn"
         )(t_ctx, t_hidden, deterministic)
 
-        v_inter = Intermediate(cfg.v_intermediate_size, self.dtype, name="v_intermediate")(v_attn)
-        v_out = ResidualOutput(
-            cfg.v_hidden_size, cfg.v_hidden_dropout_prob, self.dtype, name="v_output"
-        )(v_inter, v_attn, deterministic)
-        t_inter = Intermediate(cfg.intermediate_size, self.dtype, name="t_intermediate")(t_attn)
-        t_out = ResidualOutput(
-            cfg.hidden_size, cfg.hidden_dropout_prob, self.dtype, name="t_output"
-        )(t_inter, t_attn, deterministic)
+        fused = cfg.fused_ffn and deterministic
+        v_out = apply_ffn(
+            Intermediate(cfg.v_intermediate_size, self.dtype, name="v_intermediate"),
+            ResidualOutput(cfg.v_hidden_size, cfg.v_hidden_dropout_prob, self.dtype,
+                           name="v_output"),
+            v_attn, deterministic, fused,
+        )
+        t_out = apply_ffn(
+            Intermediate(cfg.intermediate_size, self.dtype, name="t_intermediate"),
+            ResidualOutput(cfg.hidden_size, cfg.hidden_dropout_prob, self.dtype,
+                           name="t_output"),
+            t_attn, deterministic, fused,
+        )
         return v_out, t_out
 
 
@@ -137,14 +143,19 @@ class ConnectionBlock(nn.Module):
             cfg.hidden_size, cfg.hidden_dropout_prob, self.dtype, name="t_output_attn"
         )(t_ctx, t_hidden, deterministic)
 
-        v_inter = Intermediate(cfg.v_intermediate_size, self.dtype, name="intermediate_v")(v_attn)
-        v_out = ResidualOutput(
-            cfg.v_hidden_size, cfg.v_hidden_dropout_prob, self.dtype, name="output_v"
-        )(v_inter, v_attn, deterministic)
-        t_inter = Intermediate(cfg.intermediate_size, self.dtype, name="intermediate_t")(t_attn)
-        t_out = ResidualOutput(
-            cfg.hidden_size, cfg.hidden_dropout_prob, self.dtype, name="output_t"
-        )(t_inter, t_attn, deterministic)
+        fused = cfg.fused_ffn and deterministic
+        v_out = apply_ffn(
+            Intermediate(cfg.v_intermediate_size, self.dtype, name="intermediate_v"),
+            ResidualOutput(cfg.v_hidden_size, cfg.v_hidden_dropout_prob, self.dtype,
+                           name="output_v"),
+            v_attn, deterministic, fused,
+        )
+        t_out = apply_ffn(
+            Intermediate(cfg.intermediate_size, self.dtype, name="intermediate_t"),
+            ResidualOutput(cfg.hidden_size, cfg.hidden_dropout_prob, self.dtype,
+                           name="output_t"),
+            t_attn, deterministic, fused,
+        )
         return v_out, t_out
 
 
@@ -179,13 +190,13 @@ class ViLBERTEncoder(nn.Module):
             t_hidden = text_layer(
                 cfg.hidden_size, cfg.num_attention_heads, cfg.intermediate_size,
                 cfg.hidden_dropout_prob, cfg.attention_probs_dropout_prob,
-                self.dtype, impl, name=f"layer_{t_idx}",
+                self.dtype, impl, cfg.fused_ffn and deterministic, name=f"layer_{t_idx}",
             )(t_hidden, t_bias, deterministic)
             if t_idx in co_sites and v_idx < cfg.v_num_hidden_layers:
                 v_hidden = visual_layer(
                     cfg.v_hidden_size, cfg.v_num_attention_heads, cfg.v_intermediate_size,
                     cfg.v_hidden_dropout_prob, cfg.v_attention_probs_dropout_prob,
-                    self.dtype, impl, name=f"v_layer_{v_idx}",
+                    self.dtype, impl, cfg.fused_ffn and deterministic, name=f"v_layer_{v_idx}",
                 )(v_hidden, v_bias, deterministic)
                 v_hidden, t_hidden = co_block(cfg, self.dtype, name=f"c_layer_{v_idx}")(
                     v_hidden, t_hidden, v_bias, t_bias, deterministic

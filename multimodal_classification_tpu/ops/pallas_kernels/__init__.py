@@ -53,6 +53,29 @@ def maybe_fused_attention(
     return None
 
 
+def maybe_fused_ffn(
+    x: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+) -> Optional[Callable[[], jnp.ndarray]]:
+    """Return a thunk computing ``gelu(x@W1+b1)@W2+b2`` in one VMEM-resident
+    Pallas pass (the intermediate never touches HBM), or None for the
+    unfused XLA path (wrong platform, lane-misaligned dims, or weights too
+    large for the VMEM budget)."""
+    if not on_tpu():
+        return None
+    from multimodal_classification_tpu.ops.pallas_kernels import fused_ffn as ffn_k
+
+    h, i = w1.shape
+    if x.shape[-1] != h or w2.shape != (i, h):
+        return None
+    if not ffn_k.supported(h, i, x.dtype):
+        return None
+    return lambda: ffn_k.fused_ffn(x, w1, b1, w2, b2)
+
+
 def maybe_fused_bi_attention(
     q1, kv1, q2, kv2, bias1, bias2, dropout_rate: float, dropout_rngs=None
 ) -> Optional[Callable[[], tuple]]:

@@ -56,6 +56,12 @@ def main() -> int:
     copts = compiler_options_from_env()
     eval_step = jax.jit(make_eval_step(model), compiler_options=copts)
     quant_step = jax.jit(make_quant_eval_step(model), compiler_options=copts)
+    # "ffn" path: same params, model recompiled with the fused Pallas FFN
+    # kernel (config.fused_ffn) — same-run A/B against plain bf16
+    import dataclasses as _dc
+
+    model_ffn = ViLBERTForClassification(_dc.replace(cfg, fused_ffn=True))
+    ffn_step = jax.jit(make_eval_step(model_ffn), compiler_options=copts)
 
     batches = tuple(
         int(b) for b in os.environ.get("SERVING_BATCHES", "1,16,64").split(",")
@@ -86,6 +92,7 @@ def main() -> int:
 
         steps = {
             "bf16": lambda b: eval_step(params, model_inputs(b)),
+            "ffn": lambda b: ffn_step(params, model_inputs(b)),
             "int8": lambda b: quant_step(params, quant, model_inputs(b)),
             "int8s": lambda b: quant_step(params, quant_static, model_inputs(b)),
         }

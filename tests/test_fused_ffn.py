@@ -1,0 +1,181 @@
+"""Fused-FFN Pallas kernel parity vs its XLA twin, plus model-level wiring.
+
+On the CPU test backend the kernel runs in interpreter mode (same code path
+as Mosaic modulo compilation); bench/TPU runs exercise the compiled kernel.
+Model-level checks pin down that enabling ``config.fused_ffn``
+(a) leaves the param tree untouched, (b) produces the same logits, and
+(c) never dispatches during training or on int8-quantized layers.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_classification_tpu.ops.pallas_kernels import fused_ffn as fk
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    """Force interpret mode for pallas_call on CPU; pretend we are on TPU so
+    the maybe_fused_ffn dispatch (model-level tests) takes the kernel path."""
+    import jax.experimental.pallas as pl
+
+    import multimodal_classification_tpu.ops.pallas_kernels as pk
+
+    on_cpu = jax.devices()[0].platform != "tpu"
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(orig, interpret=on_cpu))
+    monkeypatch.setattr(pk, "on_tpu", lambda: True)
+
+
+def _mk(rng, rows, h, i, dtype=np.float32):
+    x = jnp.asarray(rng.standard_normal((rows, h)).astype(dtype))
+    w1 = jnp.asarray(rng.standard_normal((h, i)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.standard_normal((i,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((i, h)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.standard_normal((h,)).astype(np.float32) * 0.1)
+    return x, w1, b1, w2, b2
+
+
+class TestKernel:
+    @pytest.mark.parametrize("rows,h,i", [(128, 128, 256), (96, 256, 128), (7, 128, 128)])
+    def test_matches_reference(self, rng, rows, h, i):
+        x, w1, b1, w2, b2 = _mk(rng, rows, h, i)
+        got = fk.fused_ffn(x, w1, b1, w2, b2)
+        want = fk.ffn_reference(x, w1, b1, w2, b2)
+        assert got.shape == (rows, h)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def test_batched_leading_dims(self, rng):
+        x, w1, b1, w2, b2 = _mk(rng, 6 * 16, 128, 256)
+        x3 = x.reshape(6, 16, 128)
+        got = fk.fused_ffn(x3, w1, b1, w2, b2)
+        want = fk.ffn_reference(x, w1, b1, w2, b2).reshape(6, 16, 128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def test_bf16_matches_reference_twin(self, rng):
+        x, w1, b1, w2, b2 = _mk(rng, 64, 128, 256, dtype=np.float32)
+        xb = x.astype(jnp.bfloat16)
+        got = fk.fused_ffn(xb, w1, b1, w2, b2)
+        want = fk.ffn_reference(xb, w1, b1, w2, b2)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=2e-2, atol=2e-2
+        )
+
+    def test_grads_match_reference(self, rng):
+        x, w1, b1, w2, b2 = _mk(rng, 32, 128, 128)
+
+        def loss_k(*a):
+            return jnp.sum(fk.fused_ffn(*a) ** 2)
+
+        def loss_r(*a):
+            return jnp.sum(fk.ffn_reference(*a) ** 2)
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+    def test_supported_gates(self):
+        assert fk.supported(768, 3072, jnp.bfloat16)   # text FFN
+        assert fk.supported(1024, 1024, jnp.bfloat16)  # visual FFN
+        assert not fk.supported(768, 3000, jnp.bfloat16)  # lane-misaligned
+        assert not fk.supported(100, 3072, jnp.bfloat16)
+        # weights alone exceed the VMEM budget
+        assert not fk.supported(4096, 16384, jnp.float32)
+
+
+class TestModelWiring:
+    def _model_and_batch(self, fused):
+        from multimodal_classification_tpu.config import tiny_vilbert_config
+        from multimodal_classification_tpu.models.vilbert import (
+            ViLBERTForClassification,
+            dummy_batch,
+            init_params,
+        )
+
+        # tiny dims are lane-misaligned on purpose elsewhere; pick dims the
+        # kernel supports so the fused path actually dispatches
+        cfg = tiny_vilbert_config(
+            hidden_size=128, intermediate_size=256, v_hidden_size=128,
+            v_intermediate_size=128, bi_hidden_size=128, dtype="float32",
+            fused_ffn=fused,
+        )
+        model = ViLBERTForClassification(cfg)
+        batch = dummy_batch(cfg, batch_size=2, seq_len=16, num_regions=8)
+        return model, batch
+
+    def test_same_params_same_logits(self, rng):
+        from multimodal_classification_tpu.models.vilbert import init_params
+
+        model_f, batch = self._model_and_batch(True)
+        model_u, _ = self._model_and_batch(False)
+        params = init_params(model_u, jax.random.PRNGKey(0), batch)
+        params_f = init_params(model_f, jax.random.PRNGKey(0), batch)
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_f)
+
+        out_u = model_u.apply({"params": params}, **batch, deterministic=True)
+        out_f = model_f.apply({"params": params}, **batch, deterministic=True)
+        np.testing.assert_allclose(
+            np.asarray(out_f["logits"]), np.asarray(out_u["logits"]), rtol=2e-5, atol=2e-5
+        )
+
+    def test_training_keeps_unfused_path(self, monkeypatch):
+        # fused_ffn applies only when deterministic: a training apply must not
+        # reach maybe_fused_ffn at all
+        import multimodal_classification_tpu.models.layers as layers_mod
+
+        called = []
+
+        def boom(*a, **k):
+            called.append(1)
+            return None
+
+        import multimodal_classification_tpu.ops.pallas_kernels as pk
+
+        monkeypatch.setattr(pk, "maybe_fused_ffn", boom)
+        model, batch = self._model_and_batch(True)
+        params = model.init({"params": jax.random.PRNGKey(0)}, **batch, deterministic=True)[
+            "params"
+        ]
+        # deterministic=True goes through the (stubbed) dispatch → falls back
+        model.apply({"params": params}, **batch, deterministic=True)
+        assert called
+        called.clear()
+        model.apply(
+            {"params": params}, **batch, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        assert not called
+
+    def test_quantized_layers_refuse_fused(self, rng):
+        # an int8-quantized dense returns None from the params_only escape →
+        # the unfused (int8) body runs. Exercise via a QuantizableDense pair.
+        import flax.linen as nn
+
+        from multimodal_classification_tpu.models.layers import Intermediate, ResidualOutput, apply_ffn
+        from multimodal_classification_tpu.ops.quant import build_quant_tree
+
+        class Blk(nn.Module):
+            @nn.compact
+            def __call__(self, x, deterministic=True):
+                return apply_ffn(
+                    Intermediate(256, jnp.float32, name="intermediate"),
+                    ResidualOutput(128, 0.0, jnp.float32, name="output"),
+                    x, deterministic, fused=True,
+                )
+
+        x = jnp.asarray(rng.standard_normal((16, 128)).astype(np.float32))
+        blk = Blk()
+        params = blk.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+        quant = build_quant_tree(params)
+        out_q = blk.apply({"params": params, "quant": quant}, x)
+        out_f = blk.apply({"params": params}, x)
+        assert out_q.shape == out_f.shape == (16, 128)
+        # int8 path ran (outputs differ from float) but stayed finite/close
+        assert np.all(np.isfinite(np.asarray(out_q)))
+        np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_f), rtol=0.2, atol=0.2)
