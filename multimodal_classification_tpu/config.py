@@ -97,8 +97,11 @@ class ViLBERTConfig:
     # never leaving VMEM). Targets the serving/eval HBM bound the roofline
     # attribution identified (scripts/analyze_eval_hlo.py); training keeps the
     # unfused XLA path (the kernel's backward is recompute-based). No effect
-    # off TPU or on int8-quantized layers.
-    fused_ffn: bool = False
+    # off TPU or on int8-quantized layers. Default ON: measured faster at
+    # EVERY serving shape on v5e (same-run A/B, scripts/bench_serving.py —
+    # seq 32: 2.76 vs 3.20 ms @1, 15.7 vs 17.0 @64; seq 128: 8.1 vs 9.4 @16,
+    # 25.6 vs 29.2 @64).
+    fused_ffn: bool = True
     # Rematerialise encoder layers to trade FLOPs for HBM
     remat: bool = False
 

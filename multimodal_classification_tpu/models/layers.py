@@ -48,14 +48,25 @@ class QuantizableDense(nn.Module):
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
         if return_params:
             # escape hatch for fused multi-layer kernels (ops.pallas_kernels.
-            # fused_ffn): hand the raw fp32 params to the caller so it can run
-            # both matmuls in one VMEM-resident pass. Param creation above is
-            # identical to the compute path, so checkpoints are unaffected.
-            # Refused (None) when this layer is int8-quantized or being
-            # calibrated — those paths must go through the compute body.
-            if self.has_variable("quant", "qkernel") or self.is_mutable_collection("calib"):
+            # fused_ffn): hand the raw params to the caller, tagged with the
+            # path this layer would take, so it can run both matmuls in one
+            # VMEM-resident pass. Param creation above is identical to the
+            # compute path, so checkpoints are unaffected. Refused (None)
+            # during calibration (the sow must run) and for STATIC-calibrated
+            # int8 layers (the fused kernel only implements dynamic per-row
+            # scales; the static path is already throughput-neutral unfused).
+            if self.is_mutable_collection("calib"):
                 return None
-            return kernel, bias
+            if self.has_variable("quant", "qkernel"):
+                if self.has_variable("quant", "ascale"):
+                    return None
+                return (
+                    "int8",
+                    self.get_variable("quant", "qkernel"),
+                    self.get_variable("quant", "wscale"),
+                    bias,
+                )
+            return ("float", kernel, bias)
         if self.is_mutable_collection("calib"):
             # calibration pass (ops.quant.calibrate_quant_tree): record the
             # largest input magnitude this layer sees across the batches
@@ -200,23 +211,35 @@ def apply_ffn(inter_mod: "Intermediate", out_mod: "ResidualOutput", x,
     VMEM-resident Pallas kernel — the [rows, intermediate] activation never
     round-trips HBM, the avoidable half of the FFN's memory traffic
     (reference chain: BertIntermediate→BertOutput, vilbert_core.py:167-201).
+    When both denses are int8-quantized (serving int8 path) the int8 fused
+    kernel runs instead: int8 MXU dots with the int8 weights VMEM-resident.
     Param layout is identical either way; falls back to the unfused path off
-    TPU, at unsupported shapes, or when the denses are int8-quantized.
+    TPU, at unsupported shapes, under calibration, for static-calibrated
+    int8 layers, and when the two denses took different paths.
     """
     if fused:
         p1 = inter_mod(x, params_only=True)
         # the probe only supplies the output dense's in-features (= the
         # intermediate width) for shape inference; no compute happens
         p2 = (
-            out_mod(jnp.zeros((1, p1[0].shape[1]), x.dtype), params_only=True)
+            out_mod(jnp.zeros((1, p1[1].shape[1]), x.dtype), params_only=True)
             if p1 is not None else None
         )
-        if p2 is not None:
-            from multimodal_classification_tpu.ops.pallas_kernels import maybe_fused_ffn
+        thunk = None
+        if p2 is not None and p1[0] == p2[0]:
+            from multimodal_classification_tpu.ops.pallas_kernels import (
+                maybe_fused_ffn,
+                maybe_fused_ffn_int8,
+            )
 
-            thunk = maybe_fused_ffn(x, p1[0], p1[1], p2[0], p2[1])
-            if thunk is not None:
-                return out_mod(x, x, deterministic, precomputed=thunk())
+            if p1[0] == "float":
+                thunk = maybe_fused_ffn(x, p1[1], p1[2], p2[1], p2[2])
+            else:
+                thunk = maybe_fused_ffn_int8(
+                    x, p1[1], p1[2], p1[3], p2[1], p2[2], p2[3]
+                )
+        if thunk is not None:
+            return out_mod(x, x, deterministic, precomputed=thunk())
     return out_mod(inter_mod(x), x, deterministic)
 
 

@@ -76,6 +76,31 @@ def maybe_fused_ffn(
     return lambda: ffn_k.fused_ffn(x, w1, b1, w2, b2)
 
 
+def maybe_fused_ffn_int8(
+    x: jnp.ndarray,
+    q1: jnp.ndarray,
+    s1: jnp.ndarray,
+    b1: jnp.ndarray,
+    q2: jnp.ndarray,
+    s2: jnp.ndarray,
+    b2: jnp.ndarray,
+) -> Optional[Callable[[], jnp.ndarray]]:
+    """Int8 twin of :func:`maybe_fused_ffn` for layers the serving int8 path
+    quantized offline: both dots run on the int8 MXU with the int8 weight
+    matrices VMEM-resident (half the bf16 bytes) and per-row activation
+    scales computed in-kernel. None → unfused int8 XLA path."""
+    if not on_tpu():
+        return None
+    from multimodal_classification_tpu.ops.pallas_kernels import fused_ffn as ffn_k
+
+    h, i = q1.shape
+    if x.shape[-1] != h or q2.shape != (i, h):
+        return None
+    if not ffn_k.supported_int8(h, i, x.dtype):
+        return None
+    return lambda: ffn_k.fused_ffn_int8(x, q1, s1, b1, q2, s2, b2)
+
+
 def maybe_fused_bi_attention(
     q1, kv1, q2, kv2, bias1, bias2, dropout_rate: float, dropout_rngs=None
 ) -> Optional[Callable[[], tuple]]:

@@ -16,8 +16,10 @@ Replaces the reference's unfused torch Linear→GELU→Linear chain
 vilbert_facebook_arch.py intermediate/output blocks).
 
 Numerics: both dots accumulate in fp32 on the MXU; bias adds and the exact
-(erf) GELU run in fp32; the intermediate is rounded to the compute dtype
-(bf16) before the second dot — exactly the ``_ffn_reference`` twin below,
+(erf) GELU run in fp32 (erf itself via the A&S 7.1.26 polynomial — Mosaic
+lowers neither erf nor erfc — max abs error 1.5e-7, far below the bf16
+intermediate rounding); the intermediate is rounded to the compute dtype
+(bf16) before the second dot — otherwise exactly the ``_ffn_reference`` twin below,
 which also serves as the off-TPU path and the backward (via ``jax.vjp``
 recompute; training defaults to the unfused XLA path anyway, this keeps the
 op differentiable wherever it is enabled).
@@ -81,10 +83,22 @@ def _ffn_reference(x2d, w1, b1, w2, b2):
     return y.astype(cdt)
 
 
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7): Mosaic has
+    no erf/erfc lowering, so the exact-GELU CDF is evaluated in-kernel with
+    exp only. The error is invisible after the bf16 intermediate rounding
+    (eps 7.8e-3) and sits ~10× under the f32 parity tolerances."""
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     u = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
     u = u + b1_ref[0:1, :].astype(jnp.float32)
-    a = jax.nn.gelu(u, approximate=False).astype(x_ref.dtype)
+    a = (0.5 * u * (1.0 + _erf(u * 0.7071067811865476))).astype(x_ref.dtype)
     y = jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32)
     o_ref[:] = (y + b2_ref[0:1, :].astype(jnp.float32)).astype(o_ref.dtype)
 
@@ -164,3 +178,122 @@ def fused_ffn(x, w1, b1, w2, b2):
 
 
 ffn_reference = _ffn_reference
+
+
+# ---------------------------------------------------------------------------
+# int8 variant: both matmuls on the int8 MXU path (2× the bf16 rate on v5e),
+# weights VMEM-resident at HALF the bf16 bytes, dynamic per-row activation
+# scales computed in-kernel for both dots. Pairs with the offline
+# per-output-channel kernel quantization of ops/quant.py (the serving int8
+# path); mirrors its numerics except that scaling/bias/GELU stay in f32
+# instead of rounding to bf16 between the dots (a strictly tighter chain —
+# the model-level test gates prediction agreement with the unfused path).
+# Static (calibrated) activation scales are NOT fused — that path refuses
+# at dispatch and keeps the unfused XLA body, which calibration already
+# fuses well (measured throughput-neutral, docs/PERFORMANCE.md).
+# ---------------------------------------------------------------------------
+
+
+def _block_rows_int8(h: int, i: int, itemsize: int) -> int:
+    """Row block for the int8 kernel: int8 weights + f32 intermediate +
+    int8 requantized intermediate + in/out blocks under the VMEM budget."""
+    weights = 2 * h * i  # two int8 matrices
+    for br in (512, 256, 128, 64):
+        working = weights + br * (4 * h * itemsize + 3 * i * 4 + i + h)
+        if working <= _VMEM_BUDGET:
+            return br
+    return 0
+
+
+def supported_int8(h: int, i: int, dtype) -> bool:
+    if h % _LANE or i % _LANE:
+        return False
+    return _block_rows_int8(h, i, jnp.dtype(dtype).itemsize) > 0
+
+
+def _rowquant(xf):
+    """Dynamic symmetric per-row int8 quantization (f32 in), matching
+    ops/quant.py::int8_dot's dynamic path."""
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    ascale = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    q = jnp.clip(jnp.rint(xf / ascale), -127, 127).astype(jnp.int8)
+    return q, ascale
+
+
+def _ffn_int8_reference(x2d, q1, s1, b1, q2, s2, b2):
+    """XLA twin of the int8 kernel (same quantize→dot→dequant chain, same
+    poly-erf GELU) — bit-exact on the same backend, and the off-TPU path."""
+    qx, a1 = _rowquant(x2d.astype(jnp.float32))
+    acc1 = jax.lax.dot_general(
+        qx, q1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    u = acc1.astype(jnp.float32) * a1 * s1[None, :] + b1[None, :]
+    g = 0.5 * u * (1.0 + _erf(u * 0.7071067811865476))
+    qg, a2 = _rowquant(g)
+    acc2 = jax.lax.dot_general(
+        qg, q2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = acc2.astype(jnp.float32) * a2 * s2[None, :] + b2[None, :]
+    return y.astype(x2d.dtype)
+
+
+def _kernel_int8(x_ref, q1_ref, s1_ref, b1_ref, q2_ref, s2_ref, b2_ref, o_ref):
+    qx, a1 = _rowquant(x_ref[:].astype(jnp.float32))
+    acc1 = jax.lax.dot_general(
+        qx, q1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    u = acc1.astype(jnp.float32) * a1 * s1_ref[0:1, :] + b1_ref[0:1, :]
+    g = 0.5 * u * (1.0 + _erf(u * 0.7071067811865476))
+    qg, a2 = _rowquant(g)
+    acc2 = jax.lax.dot_general(
+        qg, q2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    o_ref[:] = (acc2.astype(jnp.float32) * a2 * s2_ref[0:1, :] + b2_ref[0:1, :]).astype(
+        o_ref.dtype
+    )
+
+
+def fused_ffn_int8(x, q1, s1, b1, q2, s2, b2):
+    """Int8 ``gelu(x@deq(Q1)+b1)@deq(Q2)+b2`` over the last axis of ``x``.
+
+    ``q1: [H, I] int8``, ``s1: [I] f32`` (per-output-channel weight scales),
+    ``b1: [I] f32``; ``q2: [I, H] int8``, ``s2/b2: [H] f32``. Activations are
+    quantized per row in-kernel before each dot. Inference-only (no VJP —
+    the serving int8 path is never differentiated).
+    """
+    h = x.shape[-1]
+    i = q1.shape[1]
+    assert q1.shape[0] == h and q2.shape == (i, h)
+    x2d = x.reshape(-1, h)
+    rows = x2d.shape[0]
+    cdt = x2d.dtype
+    br = _block_rows_int8(h, i, jnp.dtype(cdt).itemsize)
+    rows_p = _round_up(rows, br)
+    if rows_p != rows:
+        x2d = jnp.pad(x2d, ((0, rows_p - rows), (0, 0)))
+    s1r, b1r = _replicate_bias(s1), _replicate_bias(b1)
+    s2r, b2r = _replicate_bias(s2), _replicate_bias(b2)
+    const = lambda r: pl.BlockSpec(  # noqa: E731 - whole-array, fetched once
+        r.shape, lambda n: (0,) * r.ndim, memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _kernel_int8,
+        grid=(rows_p // br,),
+        in_specs=[
+            pl.BlockSpec((br, h), lambda n: (n, 0), memory_space=pltpu.VMEM),
+            const(q1), const(s1r), const(b1r),
+            const(q2), const(s2r), const(b2r),
+        ],
+        out_specs=pl.BlockSpec((br, h), lambda n: (n, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_p, h), cdt),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows_p * h * i,
+            bytes_accessed=2 * rows_p * h * jnp.dtype(cdt).itemsize + 2 * h * i,
+            transcendentals=rows_p * i,
+        ),
+    )(x2d, q1, s1r, b1r, q2, s2r, b2r)
+    out = out[:rows] if rows_p != rows else out
+    return out.reshape(*x.shape[:-1], h)
+
+
+ffn_int8_reference = _ffn_int8_reference

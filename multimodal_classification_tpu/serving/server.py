@@ -82,6 +82,18 @@ class ServingModel:
         self.feature_dim = feature_dim
         self.batch_size = batch_size
         self.params = params
+        if mesh is not None and getattr(model.cfg, "fused_ffn", False):
+            # tensor-parallel serving shards the FFN weights over mp; the
+            # fused Pallas kernel expects whole (replicated) weight operands,
+            # so the partitioner would have to all-gather them every call —
+            # keep the unfused XLA path, which shards cleanly.
+            import dataclasses
+
+            from multimodal_classification_tpu.models.vilbert import (
+                ViLBERTForClassification,
+            )
+
+            model = ViLBERTForClassification(dataclasses.replace(model.cfg, fused_ffn=False))
         self._model = model
         if int8:
             from multimodal_classification_tpu.ops.quant import build_quant_tree

@@ -48,7 +48,14 @@ def main() -> int:
         cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False)
     else:
         cfg = facebook_vilbert_config()
-    model = ViLBERTForClassification(cfg)
+    # "ffn" path: fused Pallas FFN kernel (config.fused_ffn, the default);
+    # "bf16" is the explicitly UNFUSED XLA baseline so the same-run A/B
+    # stays honest whatever the config default is. int8 paths quantize the
+    # FFN denses, which refuse the fused kernel per-layer.
+    import dataclasses as _dc
+
+    model = ViLBERTForClassification(_dc.replace(cfg, fused_ffn=False))
+    model_ffn = ViLBERTForClassification(_dc.replace(cfg, fused_ffn=True))
     from multimodal_classification_tpu.utils.xla_options import (
         compiler_options_from_env,
     )
@@ -56,12 +63,10 @@ def main() -> int:
     copts = compiler_options_from_env()
     eval_step = jax.jit(make_eval_step(model), compiler_options=copts)
     quant_step = jax.jit(make_quant_eval_step(model), compiler_options=copts)
-    # "ffn" path: same params, model recompiled with the fused Pallas FFN
-    # kernel (config.fused_ffn) — same-run A/B against plain bf16
-    import dataclasses as _dc
-
-    model_ffn = ViLBERTForClassification(_dc.replace(cfg, fused_ffn=True))
     ffn_step = jax.jit(make_eval_step(model_ffn), compiler_options=copts)
+    # "int8f": int8 quant + the fused int8 FFN kernel (int8 MXU dots with
+    # VMEM-resident int8 weights) — the shipping default when serving_int8
+    quant_ffn_step = jax.jit(make_quant_eval_step(model_ffn), compiler_options=copts)
 
     batches = tuple(
         int(b) for b in os.environ.get("SERVING_BATCHES", "1,16,64").split(",")
@@ -94,6 +99,7 @@ def main() -> int:
             "bf16": lambda b: eval_step(params, model_inputs(b)),
             "ffn": lambda b: ffn_step(params, model_inputs(b)),
             "int8": lambda b: quant_step(params, quant, model_inputs(b)),
+            "int8f": lambda b: quant_ffn_step(params, quant, model_inputs(b)),
             "int8s": lambda b: quant_step(params, quant_static, model_inputs(b)),
         }
         for name, step in ((p, steps[p]) for p in paths):

@@ -89,6 +89,46 @@ class TestKernel:
         assert not fk.supported(4096, 16384, jnp.float32)
 
 
+class TestKernelInt8:
+    def _mk_q(self, rng, rows, h, i, dtype=np.float32):
+        from multimodal_classification_tpu.ops.quant import quantize_kernel
+
+        x, w1, b1, w2, b2 = _mk(rng, rows, h, i, dtype)
+        q1, s1 = quantize_kernel(np.asarray(w1))
+        q2, s2 = quantize_kernel(np.asarray(w2))
+        return x, (jnp.asarray(q1), jnp.asarray(s1), b1,
+                   jnp.asarray(q2), jnp.asarray(s2), b2), (w1, b1, w2, b2)
+
+    @pytest.mark.parametrize("rows,h,i", [(128, 128, 256), (96, 256, 128), (7, 128, 128)])
+    def test_matches_int8_twin(self, rng, rows, h, i):
+        x, qargs, _ = self._mk_q(rng, rows, h, i)
+        got = fk.fused_ffn_int8(x, *qargs)
+        want = fk.ffn_int8_reference(x, *qargs)
+        assert got.shape == (rows, h)
+        # same backend, same quantize→dot→dequant chain → near-exact
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+    def test_close_to_float_reference(self, rng):
+        # int8 quantization error only: must track the float FFN loosely
+        x, qargs, (w1, b1, w2, b2) = self._mk_q(rng, 64, 128, 256)
+        got = np.asarray(fk.fused_ffn_int8(x, *qargs))
+        want = np.asarray(fk.ffn_reference(x, w1, b1, w2, b2))
+        denom = np.abs(want).max()
+        assert np.abs(got - want).max() / denom < 0.05
+
+    def test_batched_leading_dims(self, rng):
+        x, qargs, _ = self._mk_q(rng, 6 * 16, 128, 256)
+        x3 = x.reshape(6, 16, 128)
+        got = fk.fused_ffn_int8(x3, *qargs)
+        want = fk.ffn_int8_reference(x, *qargs).reshape(6, 16, 128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+    def test_supported_gates(self):
+        assert fk.supported_int8(768, 3072, jnp.bfloat16)
+        assert fk.supported_int8(1024, 1024, jnp.bfloat16)
+        assert not fk.supported_int8(768, 3000, jnp.bfloat16)
+
+
 class TestModelWiring:
     def _model_and_batch(self, fused):
         from multimodal_classification_tpu.config import tiny_vilbert_config
@@ -152,30 +192,75 @@ class TestModelWiring:
         )
         assert not called
 
-    def test_quantized_layers_refuse_fused(self, rng):
-        # an int8-quantized dense returns None from the params_only escape →
-        # the unfused (int8) body runs. Exercise via a QuantizableDense pair.
+    def _quant_blk(self, rng, fused):
         import flax.linen as nn
 
-        from multimodal_classification_tpu.models.layers import Intermediate, ResidualOutput, apply_ffn
+        from multimodal_classification_tpu.models.layers import (
+            Intermediate,
+            ResidualOutput,
+            apply_ffn,
+        )
         from multimodal_classification_tpu.ops.quant import build_quant_tree
 
         class Blk(nn.Module):
+            fused: bool
+
             @nn.compact
             def __call__(self, x, deterministic=True):
                 return apply_ffn(
                     Intermediate(256, jnp.float32, name="intermediate"),
                     ResidualOutput(128, 0.0, jnp.float32, name="output"),
-                    x, deterministic, fused=True,
+                    x, deterministic, fused=self.fused,
                 )
 
         x = jnp.asarray(rng.standard_normal((16, 128)).astype(np.float32))
-        blk = Blk()
+        blk = Blk(fused=fused)
         params = blk.init({"params": jax.random.PRNGKey(0)}, x)["params"]
-        quant = build_quant_tree(params)
-        out_q = blk.apply({"params": params, "quant": quant}, x)
-        out_f = blk.apply({"params": params}, x)
-        assert out_q.shape == out_f.shape == (16, 128)
-        # int8 path ran (outputs differ from float) but stayed finite/close
-        assert np.all(np.isfinite(np.asarray(out_q)))
-        np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_f), rtol=0.2, atol=0.2)
+        quant = build_quant_tree(params, min_dim=128)  # both FFN denses quantize
+        from multimodal_classification_tpu.ops.quant import count_quantized
+
+        assert count_quantized(quant) == 2
+        return blk, params, quant, x
+
+    def test_quantized_layers_take_fused_int8(self, rng, monkeypatch):
+        # both denses quantized (dynamic scales) → the int8 fused kernel
+        # dispatches; its output tracks the unfused int8 path closely (the
+        # only difference is f32 instead of bf16 between the two dots here:
+        # dtype is f32 throughout, so it is the same chain)
+        import multimodal_classification_tpu.ops.pallas_kernels as pk
+
+        calls = []
+        orig = pk.maybe_fused_ffn_int8
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(pk, "maybe_fused_ffn_int8", spy)
+        blk, params, quant, x = self._quant_blk(rng, fused=True)
+        out_fused = blk.apply({"params": params, "quant": quant}, x)
+        assert calls, "int8 fused dispatch did not run"
+        blk_u, *_ = self._quant_blk(rng, fused=False)
+        out_unfused = blk_u.apply({"params": params, "quant": quant}, x)
+        # same quantize chain modulo the f32-vs-bf16 intermediate rounding
+        np.testing.assert_allclose(
+            np.asarray(out_fused), np.asarray(out_unfused), rtol=2e-2, atol=2e-2
+        )
+
+    def test_static_calibrated_refuses_fused(self, rng, monkeypatch):
+        # adding a static ascale makes return_params refuse → unfused body,
+        # the int8 dispatcher is never consulted
+        import multimodal_classification_tpu.ops.pallas_kernels as pk
+
+        def boom(*a, **k):
+            raise AssertionError("static-calibrated layer reached the fused dispatch")
+
+        monkeypatch.setattr(pk, "maybe_fused_ffn_int8", boom)
+        blk, params, quant, x = self._quant_blk(rng, fused=True)
+        quant_s = jax.tree_util.tree_map(lambda v: v, quant)
+        for leaf in quant_s.values():
+            for sub in leaf.values():
+                if isinstance(sub, dict) and "qkernel" in sub:
+                    sub["ascale"] = jnp.float32(0.05)
+        out = blk.apply({"params": params, "quant": quant_s}, x)
+        assert np.all(np.isfinite(np.asarray(out)))
