@@ -140,7 +140,11 @@ def setup(k: int = 10):
     print(f"device upload: {time.perf_counter() - t0:.1f}s "
           f"({data.visual_features.nbytes / 1e6:.0f} MB features)", file=sys.stderr)
 
-    cfg = facebook_vilbert_config()
+    # BENCH_STACKED=1: scan-over-layers encoder (config.stacked_encoder) —
+    # same math, params stacked [6, ...], one compiled superlayer loop
+    cfg = facebook_vilbert_config(
+        stacked_encoder=os.environ.get("BENCH_STACKED", "0") == "1"
+    )
     model = ViLBERTForClassification(cfg)
     loss_fn = get_loss_function("ce")
     schedule = warmup_linear_schedule(1e-5, 2000, 10_000)

@@ -104,6 +104,19 @@ class ViLBERTConfig:
     fused_ffn: bool = True
     # Rematerialise encoder layers to trade FLOPs for HBM
     remat: bool = False
+    # Scan-over-layers: run the encoder as ONE nn.scan over its regular
+    # superlayer repeat ([text×2 → visual → co-attention] ×6 in the FB
+    # config) with params stacked [6, ...]. Targets the measured per-op
+    # overhead of the 22 ms train step (scripts/profile_step.py: 59% of
+    # device time in ~1480 small fusions + 20% in ~4200 loop-carry copies of
+    # ~600 small param tensors — stacking cuts both counts ~6× for encoder
+    # params). Engages only when the layer layout is regular
+    # (co-attention after every 2nd text layer, v_layers = text_layers/2 —
+    # true for the FB, core, and tiny configs); param layout changes to
+    # stacked leaves (models/stacking.py converts in both directions, and
+    # converters/serving keep the canonical per-layer tree). Incompatible
+    # with freeze_bert_layers (can't freeze half a stacked leaf).
+    stacked_encoder: bool = False
 
     @property
     def bi_head_dim(self) -> int:

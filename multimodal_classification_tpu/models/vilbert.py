@@ -159,6 +159,58 @@ class ConnectionBlock(nn.Module):
         return v_out, t_out
 
 
+def stackable_layout(cfg: ViLBERTConfig) -> bool:
+    """True when the encoder interleave is the regular superlayer repeat
+    ``[text×2 → visual → co-attention] × v_num_hidden_layers`` — the layout
+    of the FB (12/6, sites 1,3,..,11), core, and tiny configs — which is the
+    precondition for scanning it with stacked params."""
+    return (
+        cfg.num_hidden_layers == 2 * cfg.v_num_hidden_layers
+        and tuple(cfg.co_attention_text_layers)
+        == tuple(range(1, cfg.num_hidden_layers, 2))
+    )
+
+
+class SuperLayer(nn.Module):
+    """One repeat of the regular encoder interleave (two text layers, one
+    visual layer, one cross-modal block), shaped as an ``nn.scan`` body:
+    params get a leading [v_num_hidden_layers] axis and the whole encoder
+    becomes one compiled loop instead of 24 inlined blocks. Semantically
+    identical to the unrolled path (parity-tested); motivated by the per-op
+    profile of the train step (see config.stacked_encoder)."""
+
+    cfg: ViLBERTConfig
+    dtype: jnp.dtype
+    impl: str
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        cfg, det = self.cfg, self.deterministic
+        t_hidden, v_hidden, t_bias, v_bias = carry
+        fused = cfg.fused_ffn and det
+
+        def text_layer(name: str) -> TransformerLayer:
+            return TransformerLayer(
+                cfg.hidden_size, cfg.num_attention_heads, cfg.intermediate_size,
+                cfg.hidden_dropout_prob, cfg.attention_probs_dropout_prob,
+                self.dtype, self.impl, fused, name=name,
+            )
+
+        t_hidden = text_layer("t_a")(t_hidden, t_bias, det)
+        t_hidden = text_layer("t_b")(t_hidden, t_bias, det)
+        v_hidden = TransformerLayer(
+            cfg.v_hidden_size, cfg.v_num_attention_heads, cfg.v_intermediate_size,
+            cfg.v_hidden_dropout_prob, cfg.v_attention_probs_dropout_prob,
+            self.dtype, self.impl, fused, name="v",
+        )(v_hidden, v_bias, det)
+        co_block = BiAttentionBlock if cfg.pooling == "cls" else ConnectionBlock
+        v_hidden, t_hidden = co_block(cfg, self.dtype, name="c")(
+            v_hidden, t_hidden, v_bias, t_bias, det
+        )
+        return (t_hidden, v_hidden, t_bias, v_bias), None
+
+
 class ViLBERTEncoder(nn.Module):
     """Interleaved two-stream encoder (see module docstring)."""
 
@@ -175,6 +227,21 @@ class ViLBERTEncoder(nn.Module):
             deterministic or cfg.pallas_attention_training
         )
         impl = "auto" if use_pallas else "xla"
+
+        if cfg.stacked_encoder and stackable_layout(cfg):
+            body = SuperLayer
+            if cfg.remat:
+                body = nn.remat(body)
+            stack = nn.scan(
+                body,
+                variable_axes={"params": 0, "quant": 0, "calib": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=cfg.v_num_hidden_layers,
+            )(cfg, self.dtype, impl, deterministic, name="stack")
+            (t_hidden, v_hidden, _, _), _ = stack(
+                (t_hidden, v_hidden, t_bias, v_bias), None
+            )
+            return t_hidden, v_hidden
 
         text_layer = TransformerLayer
         visual_layer = TransformerLayer

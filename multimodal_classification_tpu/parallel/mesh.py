@@ -103,6 +103,11 @@ def param_shardings(
         spec = P()
         for pat, cand in compiled:
             if pat.match(s):
+                # stacked-encoder leaves (models/stacking.py) carry a leading
+                # [num_superlayers] axis over the rule's target tensor —
+                # shift the spec right so the same TP rule applies per slice
+                if "/stack/" in s and leaf.ndim == len(cand) + 1:
+                    cand = P(None, *cand)
                 if _spec_fits(cand, tuple(leaf.shape), mesh):
                     spec = cand
                 break

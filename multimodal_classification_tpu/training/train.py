@@ -61,6 +61,12 @@ def freeze_labels(params: Any, freeze_bert_layers: int) -> Any:
         keys = [p.key for p in path if hasattr(p, "key")]
         if freeze_bert_layers <= 0 or not keys or keys[0] != "bert":
             return "train"
+        if keys[1] == "encoder" and len(keys) > 2 and keys[2] == "stack":
+            raise ValueError(
+                "freeze_bert_layers is incompatible with stacked_encoder: "
+                "per-layer freezing cannot partition a stacked [K,...] leaf "
+                "(use the canonical encoder layout for freeze ablations)"
+            )
         if keys[1] == "embeddings":
             return "freeze"
         if keys[1] == "encoder" and keys[2].startswith("layer_"):
