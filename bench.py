@@ -11,6 +11,25 @@ state sends only 16 int32 indices per step across the host link. (The
 prefetching host loader is the fallback for datasets that exceed HBM;
 `docs/ARCHITECTURE.md` discusses the trade-off.)
 
+Cold-start design (round 3): the round-2 driver run was lost to a timeout
+(BENCH_r02.json rc=124) because the /tmp compile cache was cold and the
+fixture rebuilt from scratch. Now:
+  * the XLA compilation cache lives in the repo at
+    ``data/09_bench_cache/jax_cache`` and its entries are COMMITTED (~120 MB
+    — the K-step train program serializes to ~80 MB), so a fresh checkout
+    warm-starts the 3-8 min remote compile. EVERY program is persisted
+    (min_compile_time 0): relay compile latency varies 1 s → 185 s for the
+    same op, so even "trivial" uncached programs can stall a budgeted run;
+  * the fixture is half the size (256 examples — 50 measured steps at batch
+    16 revisit examples either way) and is rebuilt in ~15 s if missing;
+  * the run is budgeted: a parent process runs the headline measurement in a
+    child with a deadline (BENCH_BUDGET, default 540 s); if the child cannot
+    finish in time (e.g. cache invalidated by a code change AND a slow relay)
+    the parent falls back to the scan-over-layers stacked encoder
+    (config.stacked_encoder), which compiles ONE superlayer instead of 24
+    inlined blocks — slower per step (measured 516 memes/s vs 728) but it
+    banks a real number instead of nothing.
+
 Baseline: the reference publishes NO throughput numbers (BASELINE.md) — its
 metrics are quality-only. ``vs_baseline`` is computed against a documented
 engineering estimate of the PyTorch reference on its stated hardware:
@@ -22,7 +41,9 @@ throttled by the synchronous num_workers=0 per-item input path. We use
 100 memes/s as the baseline — i.e. ~2.5× more generous to the reference than
 the V100-fp32 arithmetic suggests — so vs_baseline is conservative.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE final JSON line: {"metric", "value", "unit", "vs_baseline"[,
+"extras"]} — the train metric stays last; the serving record rides in
+"extras" so the driver artifact captures both axes.
 """
 
 from __future__ import annotations
@@ -32,9 +53,19 @@ import os
 import sys
 import time
 
-# persistent XLA compilation cache: repeat bench runs skip the long compile
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+# persistent XLA compilation cache: COMMITTED to the repo so the driver's
+# cold run skips the 3-8 min remote compile (entries are ~1 MB)
+_CACHE_DIR = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(_HERE, "data", "09_bench_cache", "jax_cache"),
+)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+# persist EVERY program: relay compile latency is wildly variable
+# (measured 1 s to 185 s for the SAME trivial op depending on relay
+# load) — a small program that compiled "fast" once and was skipped
+# by the default 2 s threshold can stall a later cold run for minutes
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
 
@@ -48,7 +79,17 @@ NUM_REGIONS = 100
 FEATURE_DIM = 2048
 WARMUP_STEPS = 5
 MEASURE_STEPS = 50
-N_EXAMPLES = 512
+N_EXAMPLES = 256
+
+
+def _configure_jax_cache():
+    """Belt and braces: the axon sitecustomize imports jax at interpreter
+    startup, which may latch config before our env vars — pin the cache dir
+    through jax.config as well (safe to call before any compile)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def _build_fixture(cache_dir: str) -> str:
@@ -61,7 +102,8 @@ def _build_fixture(cache_dir: str) -> str:
     os.makedirs(cache_dir, exist_ok=True)
     rng = np.random.default_rng(0)
     ids = [str(10000 + i) for i in range(N_EXAMPLES)]
-    feats = rng.standard_normal((N_EXAMPLES, NUM_REGIONS, FEATURE_DIM)).astype(np.float32)
+    feats = rng.standard_normal(
+        (N_EXAMPLES, NUM_REGIONS, FEATURE_DIM), dtype=np.float32)
     boxes = rng.uniform(0, 1000, (N_EXAMPLES, NUM_REGIONS, 4)).astype(np.float32)
     write_feature_lmdb(path, ids, feats, boxes)
     return path
@@ -83,16 +125,18 @@ def _backend_watchdog(timeout_s: float):
     return timer.cancel
 
 
-def setup(k: int = 10):
+def setup(k: int = 10, stacked: bool | None = None):
     """Build the bench configuration: device-resident data, jitted K-step
     train step, initial state and the index-block iterator. Shared by the
     throughput measurement (main) and scripts/profile_step.py."""
     cancel_watchdog = _backend_watchdog(
-        float(os.environ.get("BENCH_BACKEND_TIMEOUT", "900")))
+        float(os.environ.get("BENCH_BACKEND_TIMEOUT", "420")))
     import jax
     import jax.numpy as jnp
     import optax
     import pandas as pd
+
+    _configure_jax_cache()
 
     from multimodal_classification_tpu.config import facebook_vilbert_config
     from multimodal_classification_tpu.data import (
@@ -113,11 +157,12 @@ def setup(k: int = 10):
 
     dev = jax.devices()[0]
     cancel_watchdog()
-    print(f"benchmarking on {dev.platform}:{dev.device_kind}", file=sys.stderr)
+    print(f"benchmarking on {dev.platform}:{dev.device_kind}", file=sys.stderr,
+          flush=True)
 
     # host side: LMDB decode + tokenisation (once)
     t0 = time.perf_counter()
-    lmdb_path = _build_fixture("data/09_bench_cache")
+    lmdb_path = _build_fixture(os.path.join(_HERE, "data", "09_bench_cache"))
     store = LMDBFeatureStore(lmdb_path)
     rng = np.random.default_rng(0)
     words = ["the", "meme", "is", "hateful", "not", "love", "hate", "people", "a", "this"]
@@ -131,20 +176,23 @@ def setup(k: int = 10):
     tok = WordPieceTokenizer(build_test_vocab())
     ds = MemesDataset(df, tok, store, max_seq_length=SEQ_LEN,
                       max_regions=NUM_REGIONS, feature_dim=FEATURE_DIM)
-    print(f"host ingest: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    print(f"host ingest: {time.perf_counter() - t0:.1f}s", file=sys.stderr,
+          flush=True)
 
     # upload the tensorised dataset to HBM (bf16 wire dtype), once
     t0 = time.perf_counter()
     data = build_device_data(ds, feature_dtype=jnp.bfloat16)
     jax.block_until_ready(data.visual_features)
     print(f"device upload: {time.perf_counter() - t0:.1f}s "
-          f"({data.visual_features.nbytes / 1e6:.0f} MB features)", file=sys.stderr)
+          f"({data.visual_features.nbytes / 1e6:.0f} MB features)",
+          file=sys.stderr, flush=True)
 
     # BENCH_STACKED=1: scan-over-layers encoder (config.stacked_encoder) —
-    # same math, params stacked [6, ...], one compiled superlayer loop
-    cfg = facebook_vilbert_config(
-        stacked_encoder=os.environ.get("BENCH_STACKED", "0") == "1"
-    )
+    # same math, params stacked [6, ...], one compiled superlayer loop.
+    # ~40% slower per step but compiles ~6× less HLO: the budget fallback.
+    if stacked is None:
+        stacked = os.environ.get("BENCH_STACKED", "0") == "1"
+    cfg = facebook_vilbert_config(stacked_encoder=stacked)
     model = ViLBERTForClassification(cfg)
     loss_fn = get_loss_function("ce")
     schedule = warmup_linear_schedule(1e-5, 2000, 10_000)
@@ -163,7 +211,8 @@ def setup(k: int = 10):
     # keys is masked, so slicing to the real max length computes the SAME
     # function as the reference's always-128 padding, minus the padding FLOPs
     bucket = data.seq_bucket(32)
-    print(f"text bucket: {bucket} of {SEQ_LEN} tokens", file=sys.stderr)
+    print(f"text bucket: {bucket} of {SEQ_LEN} tokens", file=sys.stderr,
+          flush=True)
 
     first = {k: np.stack([ds.get(i)[k] for i in range(2)]) for k in ds.get(0)}
     first = {**first, "input_ids": first["input_ids"][:, :bucket],
@@ -203,13 +252,16 @@ def setup(k: int = 10):
     return step, state, data, index_blocks(), rng_key, K
 
 
-def main() -> int:
-    step, state, data, it, rng_key, K = setup()
+def _measure_train(stacked: bool) -> dict:
+    step, state, data, it, rng_key, K = setup(stacked=stacked)
+    t_c0 = time.perf_counter()
     for _ in range(max(WARMUP_STEPS // K, 1)):
         state, m = step(state, data, next(it), rng_key)
     # fetch the VALUE (device→host): on remote/tunneled backends
     # block_until_ready can return before compute completes
     _ = float(m["loss"])
+    print(f"compile+warmup: {time.perf_counter() - t_c0:.1f}s",
+          file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS // K):
@@ -221,18 +273,138 @@ def main() -> int:
     print(
         f"{MEASURE_STEPS} steps x batch {BATCH_SIZE} in {dt:.2f}s "
         f"({dt / MEASURE_STEPS * 1000:.1f} ms/step), loss={final_loss:.4f}",
-        file=sys.stderr,
+        file=sys.stderr, flush=True,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "train_memes_per_sec_per_chip (vilbert_lmdb config: LMDB-decoded features device-resident, fwd/bwd/opt per step)",
-                "value": round(memes_per_sec, 2),
-                "unit": "memes/sec",
-                "vs_baseline": round(memes_per_sec / REFERENCE_MEMES_PER_SEC_ESTIMATE, 3),
-            }
+    suffix = ", scan-over-layers stacked encoder (budget fallback)" if stacked else ""
+    return {
+        "metric": "train_memes_per_sec_per_chip (vilbert_lmdb config: "
+                  "LMDB-decoded features device-resident, fwd/bwd/opt per step"
+                  + suffix + ")",
+        "value": round(memes_per_sec, 2),
+        "unit": "memes/sec",
+        "vs_baseline": round(memes_per_sec / REFERENCE_MEMES_PER_SEC_ESTIMATE, 3),
+    }
+
+
+def _measure_serving() -> dict:
+    """Secondary metric: the serving record config — int8 MXU quant + fused
+    int8 FFN Pallas kernel, batch 64, seq-32 bucket (scripts/bench_serving.py
+    measures the full grid; this banks the headline point for the driver)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_classification_tpu.config import facebook_vilbert_config
+    from multimodal_classification_tpu.models.vilbert import (
+        ViLBERTForClassification,
+        dummy_batch,
+    )
+    from multimodal_classification_tpu.ops.quant import build_quant_tree
+    from multimodal_classification_tpu.training.train import (
+        make_quant_eval_step,
+        model_inputs,
+    )
+
+    bs, seq = 64, 32
+    cfg = facebook_vilbert_config()  # fused_ffn default ON
+    model = ViLBERTForClassification(cfg)
+    batch = dummy_batch(cfg, bs, seq, NUM_REGIONS)
+    rng = np.random.default_rng(0)
+    batch["visual_features"] = jnp.asarray(
+        rng.standard_normal(batch["visual_features"].shape), jnp.bfloat16)
+    params = model.init(jax.random.key(0), **batch)["params"]
+    quant = build_quant_tree(params)
+    step = jax.jit(make_quant_eval_step(model))
+    for _ in range(3):
+        logits = step(params, quant, model_inputs(batch))
+    _ = float(logits[0, 0])
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        logits = step(params, quant, model_inputs(batch))
+    _ = float(logits[0, 0])
+    dt = time.perf_counter() - t0
+    return {
+        "serving_int8f_memes_per_sec": round(n * bs / dt, 1),
+        "serving_batch": bs,
+        "serving_seq_bucket": seq,
+    }
+
+
+def _run_stage(stage: str) -> int:
+    """Child entry: run one measurement stage and print its JSON line(s).
+    The parent takes the LAST JSON line, so print train-only first and the
+    train+extras line after — if the parent kills us mid-extras it still
+    banks the train number."""
+    result = _measure_train(stacked=(stage == "fallback"))
+    print(json.dumps(result), flush=True)
+    deadline = float(os.environ.get("BENCH_DEADLINE", "0"))
+    remaining = deadline - time.monotonic() if deadline else 1e9
+    if stage == "headline" and os.environ.get("BENCH_EXTRAS", "1") == "1" \
+            and remaining > 60:
+        try:
+            result["extras"] = _measure_serving()
+            print(json.dumps(result), flush=True)
+        except Exception as e:  # extras are best-effort
+            print(f"serving extras failed: {e!r}", file=sys.stderr, flush=True)
+    return 0
+
+
+def _spawn(stage: str, timeout: float, deadline: float):
+    """Run a measurement stage in a child (so a hung remote compile can be
+    killed and the budget falls through to the next stage). Returns the last
+    JSON line the child printed, or None."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["PYTHONUNBUFFERED"] = "1"
+    env["BENCH_DEADLINE"] = str(deadline)
+    print(f"bench: stage={stage} timeout={timeout:.0f}s", file=sys.stderr,
+          flush=True)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", stage],
+            env=env, cwd=_HERE, timeout=max(timeout, 1),
+            stdout=subprocess.PIPE, stderr=None, text=True,
         )
-    )
+        out = proc.stdout or ""
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout or b""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        print(f"bench: stage={stage} timed out after {timeout:.0f}s",
+              file=sys.stderr, flush=True)
+    last = None
+    for line in out.splitlines():
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                last = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    return last
+
+
+def main() -> int:
+    if "--stage" in sys.argv:
+        return _run_stage(sys.argv[sys.argv.index("--stage") + 1])
+
+    budget = float(os.environ.get("BENCH_BUDGET", "540"))
+    t0 = time.monotonic()
+    deadline = t0 + budget
+    # reserve enough for the fallback stage: ingest ~20 s + one-superlayer
+    # compile (cached: seconds; cold: the stacked program is ~6× less HLO)
+    reserve = float(os.environ.get("BENCH_FALLBACK_RESERVE", "170"))
+
+    result = _spawn("headline", timeout=deadline - time.monotonic() - reserve,
+                    deadline=deadline)
+    if result is None:
+        result = _spawn("fallback", timeout=deadline - time.monotonic() - 5,
+                        deadline=deadline)
+    if result is None:
+        print("bench: all stages failed within budget", file=sys.stderr,
+              flush=True)
+        return 1
+    print(json.dumps(result), flush=True)
     return 0
 
 

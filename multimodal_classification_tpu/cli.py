@@ -28,6 +28,16 @@ def main(argv=None) -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
+    # MMC_PLATFORM=cpu forces the backend regardless of what the host's
+    # sitecustomize latched (on the axon image the JAX_PLATFORMS env var is
+    # consumed before any user code runs, so it CANNOT redirect a subprocess
+    # — this config knob can; utils/doctor.py and demo_e2e use the same
+    # mechanism). Offline gates (reproduce_lmdb_auroc --dry-run) rely on it.
+    if os.environ.get("MMC_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["MMC_PLATFORM"])
+
     parser = argparse.ArgumentParser(
         prog="mmc-tpu",
         description="TPU-native multimodal classification framework",

@@ -45,6 +45,13 @@ SHAPES = [
     ("vis_ffn", 6400, 1024, 1024),
     ("vis_embed", 6400, 2048, 1024),
     ("control_big", 16384, 3072, 3072),
+    # the serving-record bucket (seq 32 → 64*32 = 2048 text rows): smaller M
+    # amortizes the [K,N] weight streaming over 4× fewer rows — the roofline
+    # worsens; these rows quantify how much of the seq-32 eval gap is
+    # fundamental weight-bandwidth vs scheduling
+    ("ffn_down_s32", 2048, 3072, 768),
+    ("ffn_up_s32", 2048, 768, 3072),
+    ("qkv_s32", 2048, 768, 768),
 ]
 
 

@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Serving throughput THROUGH the HTTP stack (VERDICT r2 weak #5).
+
+scripts/bench_serving.py measures the compiled eval step directly (the
+4795 memes/s int8-fused-FFN record @ batch 64 / seq-32). This bench runs the
+actual product surface — `mmc-tpu serve`'s micro-batching HTTP server — with
+localhost clients over keep-alive connections, and reports achieved rps +
+latency percentiles, so the delta between the compiled-step record and what
+a user sees (HTTP parse + JSON + queueing + linger, all on this 1-core host)
+is a measured number instead of a guess.
+
+Two client shapes:
+  * batch  — POST /predict_batch with B instances per call (bulk scoring:
+             HTTP/JSON overhead amortized over the batch);
+  * single — POST /predict, C concurrent connections (online traffic:
+             per-request overhead dominates on a 1-core host; the
+             micro-batcher coalesces co-arriving requests).
+
+SERVER_TINY=1 runs the tiny config on CPU (harness smoke, used by tests).
+Prints one JSON line per mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+# SERVER_PLATFORM=cpu: force the backend via jax.config (the JAX_PLATFORMS
+# env var is latched by the axon sitecustomize before user code runs)
+if os.environ.get("SERVER_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["SERVER_PLATFORM"])
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def drive(server, mode: str, n_requests: int, concurrency: int,
+          batch: int, text: str) -> dict:
+    """Client-drive a started InferenceServer over keep-alive connections;
+    returns {"rps", "p50_ms", "p99_ms", ...}. Importable (tests use it with
+    the tiny config)."""
+    import http.client
+
+    port = server.port
+    payload_one = json.dumps({"text": text}).encode()
+    payload_batch = json.dumps(
+        {"instances": [{"text": text}] * batch}).encode()
+    headers = {"Content-Type": "application/json"}
+    done = threading.Event()
+    counts = [0] * concurrency
+    errors = [0] * concurrency
+
+    def worker(w: int):
+        conn = http.client.HTTPConnection("127.0.0.1", port)
+        while not done.is_set():
+            try:
+                if mode == "batch":
+                    conn.request("POST", "/predict_batch", payload_batch, headers)
+                    resp = conn.getresponse()
+                    body = resp.read()
+                    if resp.status == 200:
+                        counts[w] += len(json.loads(body))
+                    else:
+                        errors[w] += 1
+                else:
+                    conn.request("POST", "/predict", payload_one, headers)
+                    resp = conn.getresponse()
+                    resp.read()
+                    if resp.status == 200:
+                        counts[w] += 1
+                    else:
+                        errors[w] += 1
+            except Exception:
+                errors[w] += 1
+                conn.close()
+                conn = http.client.HTTPConnection("127.0.0.1", port)
+            if sum(counts) >= n_requests:
+                done.set()
+        conn.close()
+
+    threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+               for w in range(concurrency)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    dt = time.perf_counter() - t0
+    total = sum(counts)
+    stats = server.batcher.latency_stats()
+    return {
+        "mode": mode,
+        "concurrency": concurrency,
+        "batch_per_call": batch if mode == "batch" else 1,
+        "requests": total,
+        "errors": sum(errors),
+        "rps": round(total / dt, 1),
+        **stats,
+        "batches": server.batcher.stats["batches"],
+        "mean_dispatch_batch": round(
+            server.batcher.stats["requests"]
+            / max(server.batcher.stats["batches"], 1), 1),
+    }
+
+
+def main() -> int:
+    import jax
+
+    from multimodal_classification_tpu.data import (
+        WordPieceTokenizer,
+        build_test_vocab,
+    )
+    from multimodal_classification_tpu.models.vilbert import (
+        ViLBERTForClassification,
+        dummy_batch,
+    )
+    from multimodal_classification_tpu.serving.server import InferenceServer, ServingModel
+    from multimodal_classification_tpu.training.train import model_inputs
+
+    tiny = bool(os.environ.get("SERVER_TINY"))
+    if tiny:
+        from multimodal_classification_tpu.config import tiny_vilbert_config
+
+        cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False)
+        batch_size, seq_buckets, int8 = 8, (16,), False
+        n_requests, concurrency, batch = 64, 4, 8
+    else:
+        from multimodal_classification_tpu.config import facebook_vilbert_config
+
+        # the record config: int8 MXU + fused int8 FFN, batch 64, 32-token
+        # bucket (scripts/bench_serving.py measured 4795 memes/s at the
+        # compiled step)
+        cfg = facebook_vilbert_config()
+        batch_size = int(os.environ.get("SERVER_BATCH", "64"))
+        seq_buckets = (32,)
+        int8 = os.environ.get("SERVER_INT8", "1") == "1"
+        n_requests = int(os.environ.get("SERVER_REQUESTS", "4096"))
+        concurrency = int(os.environ.get("SERVER_CONCURRENCY", "32"))
+        batch = batch_size
+
+    dev = jax.devices()[0]
+    print(f"server bench on {dev.platform}:{dev.device_kind}", file=sys.stderr)
+    model = ViLBERTForClassification(cfg)
+    init_batch = dummy_batch(cfg, 1, 16, 100 if not tiny else 8)
+    params = model.init(jax.random.key(0), **model_inputs(init_batch))["params"]
+    tok = WordPieceTokenizer(build_test_vocab())
+    sm = ServingModel(model, params, tok, None,
+                      max_seq_length=128 if not tiny else 16,
+                      num_regions=100 if not tiny else 8,
+                      feature_dim=cfg.v_feature_size,
+                      batch_size=batch_size, int8=int8,
+                      seq_buckets=seq_buckets if not tiny else ())
+    t0 = time.perf_counter()
+    sm.warmup()
+    print(f"warmup (compile): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    text = "this meme is about people"  # ~8 tokens → the 32 bucket
+    linger = float(os.environ.get("SERVER_LINGER_MS", "2.0"))
+    for mode in os.environ.get("SERVER_MODES", "batch,single").split(","):
+        server = InferenceServer(sm, port=0, linger_ms=linger)
+        server.start()
+        try:
+            result = drive(server, mode, n_requests, concurrency, batch, text)
+        finally:
+            server.stop()
+        print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,6 +22,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--output", default="data/01_raw/hateful_memes")
     ap.add_argument("--skip-download", action="store_true")
+    ap.add_argument("--skip-images", action="store_true",
+                    help="metadata/stats only (the LMDB-features training "
+                    "path needs no images)")
     args = ap.parse_args()
     os.makedirs(args.output, exist_ok=True)
 
@@ -38,8 +41,6 @@ def main() -> int:
                 with open(os.path.join(args.output, fname), "w") as f:
                     for row in ds[split]:
                         f.write(json.dumps(dict(row)) + "\n")
-            print("metadata downloaded; images require the GDrive tarball "
-                  "(see reference data_processing/nodes.py:111-167)")
         except Exception as e:
             print(
                 f"download failed ({e}). Offline? Place train.jsonl/dev.jsonl/"
@@ -55,6 +56,16 @@ def main() -> int:
     )
 
     splits = load_hateful_memes(args.output)
+
+    if not args.skip_download and not args.skip_images:
+        # GDrive tarball + per-image HTTP fallback
+        # (reference data_processing/nodes.py:111-167)
+        from multimodal_classification_tpu.data.images import acquire_images
+
+        names = [n for df in splits.values() if "img" in df.columns
+                 for n in df["img"]]
+        img_stats = acquire_images(args.output, names)
+        print(f"images: {img_stats}")
     splits = {k: preprocess_data(v, {}) for k, v in splits.items()}
     stats = compute_dataset_statistics(splits)
     out = os.path.join(args.output, "dataset_stats.json")

@@ -10,12 +10,21 @@ Staged end-to-end, ready for the moment the network gate opens:
   3. run the ``vilbert_lmdb_train`` pipeline;
   4. gate the resulting test AUROC against [0.74, 0.77] — the reference's
      0.7580 ± noise band (RNG/data-order differences make exact-point
-     matching meaningless; SURVEY.md §7 hard part (c)).
+     matching meaningless; SURVEY.md §7 hard part (c));
+  5. gate the per-epoch val-AUROC TRAJECTORY against the reference's
+     committed ``training_history.json`` (same keys our Trainer emits:
+     train_loss / val_loss / val_auroc) within a ±tolerance band;
+  6. A/B the float test AUROC against int8 MXU serving
+     (``serving_int8=true`` through the product validate pipeline) and gate
+     |ΔAUROC| — int8 quality risk is unknowable offline, so the real run
+     must carry the measurement.
 
 Offline dry run (no network): ``--dry-run`` fabricates a tiny project with
 the exact artifact layout (JSONL splits + real-format detectron.lmdb + a
 fabricated torch checkpoint with the upstream key layout), runs the same
-steps 2-4 against it, and gates on the synthetic-signal AUROC instead.
+steps 2-6 against it — the trajectory comparator is exercised both ways
+(an in-band fabricated reference PASSES, an out-of-band one FAILS) and the
+int8 A/B runs for real on the tiny trained checkpoint.
 
 Usage:
   python scripts/reproduce_lmdb_auroc.py --root /path/to/project
@@ -36,11 +45,49 @@ logger = logging.getLogger("reproduce_lmdb")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 AUROC_BAND = (0.74, 0.77)  # reference 0.7580 ± noise
+# the reference repo commits its actual run history — the trajectory oracle
+REF_HISTORY = "/root/reference/data/05_model_output/training_history.json"
+TRAJECTORY_TOL = 0.04  # per-epoch |Δ val_auroc| band (seed/data-order noise)
+INT8_AUROC_TOL = 0.002  # max acceptable quality cost of int8 MXU serving
 
 
 def run(cmd, **kw):
     logger.info("$ %s", " ".join(cmd))
     subprocess.run(cmd, check=True, **kw)
+
+
+def gate_trajectory(history, ref_history, tol: float = TRAJECTORY_TOL):
+    """Per-epoch val-AUROC comparison over the overlapping epochs (our early
+    stopping may end sooner than the reference's 13 epochs). Returns
+    (ok, max_delta, n_compared). SURVEY.md §7 hard part (c)."""
+    ours = list(history["val_auroc"])
+    ref = list(ref_history["val_auroc"])
+    n = min(len(ours), len(ref))
+    if n == 0:
+        return False, float("nan"), 0
+    deltas = [abs(ours[i] - ref[i]) for i in range(n)]
+    worst = max(deltas)
+    return worst <= tol, worst, n
+
+
+def int8_quality_ab(root: str, variant: str, env, extra_params=()) -> tuple:
+    """Run the product validate pipeline twice — float then serving_int8 —
+    and return (auroc_float, auroc_int8). Uses the CLI surface so the real
+    run measures exactly what a deployment would serve."""
+    metrics_path = os.path.join(root, "data/08_reporting/validation_metrics.json")
+
+    def one(int8: bool) -> float:
+        cmd = [sys.executable, "-m", "multimodal_classification_tpu", "run",
+               "--pipeline=vilbert_validate", "--variant", variant,
+               "--root", root]
+        if int8:
+            cmd += ["--params", f"vilbert_{variant}.serving_int8=true",
+                    *extra_params]
+        run(cmd, env=env, cwd=REPO)
+        with open(metrics_path) as f:
+            return float(json.load(f)["auroc"])
+
+    return one(False), one(True)
 
 
 def download_all(root: str) -> str:
@@ -139,6 +186,11 @@ def main() -> int:
                     help="offline: fabricated fixture end-to-end")
     ap.add_argument("--band", nargs=2, type=float, default=None,
                     help="override the AUROC gate [lo hi]")
+    ap.add_argument("--ref-history", default=REF_HISTORY,
+                    help="reference training_history.json to gate the "
+                         "per-epoch val-AUROC trajectory against")
+    ap.add_argument("--trajectory-tol", type=float, default=TRAJECTORY_TOL)
+    ap.add_argument("--skip-int8-ab", action="store_true")
     args = ap.parse_args()
     root = os.path.abspath(args.root)
     os.makedirs(root, exist_ok=True)
@@ -169,6 +221,51 @@ def main() -> int:
     ok = lo <= auroc <= hi
     logger.info("test AUROC = %.4f, gate [%.3f, %.3f] → %s",
                 auroc, lo, hi, "PASS" if ok else "FAIL")
+
+    # ---- trajectory gate (step 5) -----------------------------------
+    with open(os.path.join(root, "data/08_reporting/training_history.json")) as f:
+        history = json.load(f)
+    if args.dry_run:
+        # exercise the comparator both ways against fabricated references:
+        # an in-band trajectory must PASS, an out-of-band one must FAIL
+        in_band = {"val_auroc": [a + 0.01 for a in history["val_auroc"]]}
+        out_band = {"val_auroc": [a - 3 * args.trajectory_tol
+                                  for a in history["val_auroc"]]}
+        t_ok, worst, n = gate_trajectory(history, in_band, args.trajectory_tol)
+        logger.info("trajectory (fabricated in-band ref): max |Δ|=%.4f over "
+                    "%d epochs → %s", worst, n, "PASS" if t_ok else "FAIL")
+        t_bad, worst_bad, _ = gate_trajectory(history, out_band,
+                                              args.trajectory_tol)
+        logger.info("trajectory (fabricated out-of-band ref): max |Δ|=%.4f "
+                    "→ %s (expected FAIL)", worst_bad,
+                    "PASS" if t_bad else "FAIL")
+        ok = ok and t_ok and not t_bad
+    elif os.path.exists(args.ref_history):
+        with open(args.ref_history) as f:
+            ref_history = json.load(f)
+        t_ok, worst, n = gate_trajectory(history, ref_history,
+                                         args.trajectory_tol)
+        logger.info("trajectory vs %s: max |Δ val_auroc|=%.4f over %d "
+                    "epochs (tol %.3f) → %s", args.ref_history, worst, n,
+                    args.trajectory_tol, "PASS" if t_ok else "FAIL")
+        ok = ok and t_ok
+    else:
+        logger.warning("no reference history at %s — trajectory gate skipped",
+                       args.ref_history)
+
+    # ---- int8 serving quality A/B (step 6) --------------------------
+    if not args.skip_int8_ab:
+        # dry-run's fabricated model is tiny (hidden 32): drop the min-dim
+        # floor so its denses actually quantize and the path runs for real
+        extra = ("vilbert_lmdb.serving_int8_min_dim=8",) if args.dry_run else ()
+        a_f32, a_int8 = int8_quality_ab(root, "lmdb", env, extra)
+        delta = abs(a_f32 - a_int8)
+        i_ok = delta <= INT8_AUROC_TOL if not args.dry_run else delta <= 0.02
+        logger.info("int8 A/B: float AUROC %.4f vs int8 %.4f (|Δ|=%.4f) → %s",
+                    a_f32, a_int8, delta, "PASS" if i_ok else "FAIL")
+        ok = ok and i_ok
+
+    logger.info("reproduce_lmdb_auroc overall: %s", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
 

@@ -266,3 +266,116 @@ class TestNativeTokenizer:
             assert isinstance(tok, NativeWordPieceTokenizer)
         ids, mask, _ = tok.encode("the meme", 8)
         assert ids[0] == tok.cls_id and int(mask.sum()) == 4
+
+
+class TestImageAcquisition:
+    """Offline exercise of the GDrive-tarball + per-image-HTTP-fallback flow
+    (reference data_processing/nodes.py:111-167) with fabricated archives and
+    an in-memory fetcher."""
+
+    @staticmethod
+    def _make_tarball(path, names, payload=b"\x89PNG fake"):
+        import io
+        import tarfile
+
+        with tarfile.open(path, "w:gz") as tar:
+            for name in names:
+                info = tarfile.TarInfo(name)
+                info.size = len(payload)
+                tar.addfile(info, io.BytesIO(payload))
+
+    def test_extract_plus_fallback_plus_wiring(self, tmp_path):
+        import shutil
+
+        from multimodal_classification_tpu.data.images import acquire_images
+        from multimodal_classification_tpu.data.memes import attach_image_paths
+        import pandas as pd
+
+        src = tmp_path / "remote.tar.gz"
+        self._make_tarball(src, ["img/00001.png", "img/00002.png"])
+        data_dir = tmp_path / "raw"
+        fetched_urls = []
+
+        def fake_download(url, dest):
+            shutil.copy(src, dest)
+
+        def fake_fetch(url):
+            fetched_urls.append(url)
+            return b"fetched-bytes"
+
+        names = ["img/00001.png", "img/00002.png", "img/00003.png"]
+        stats = acquire_images(str(data_dir), names,
+                               download_archive=fake_download, fetch=fake_fetch)
+        assert stats == {"extracted": 2, "fetched": 1, "missing": 0,
+                         "skipped_archive": False}
+        assert fetched_urls == [
+            "https://huggingface.co/datasets/limjiayi/hateful_memes_expanded"
+            "/resolve/main/img/00003.png"]
+        for n in names:
+            assert (data_dir / n).exists()
+        assert (data_dir / "img/00003.png").read_bytes() == b"fetched-bytes"
+
+        # img_path wiring: the acquired relative names resolve to real files
+        df = attach_image_paths(pd.DataFrame({"id": [1, 2, 3], "img": names}),
+                                str(data_dir))
+        assert df["img_path"].map(lambda p: __import__("os").path.exists(p)).all()
+
+    def test_archive_download_failure_falls_back_per_image(self, tmp_path):
+        from multimodal_classification_tpu.data.images import acquire_images
+
+        def failing_download(url, dest):
+            raise OSError("no gdown / no network")
+
+        stats = acquire_images(
+            str(tmp_path), ["img/a.png", "img/b.png"],
+            download_archive=failing_download,
+            fetch=lambda url: b"x")
+        assert stats["extracted"] == 0 and stats["fetched"] == 2
+        assert stats["missing"] == 0
+
+    def test_fetch_failure_counts_missing_not_raises(self, tmp_path):
+        from multimodal_classification_tpu.data.images import acquire_images
+
+        def failing(url, dest=None):
+            raise OSError("offline")
+
+        stats = acquire_images(str(tmp_path), ["img/a.png"],
+                               download_archive=failing, fetch=failing)
+        assert stats == {"extracted": 0, "fetched": 0, "missing": 1,
+                         "skipped_archive": False}
+
+    def test_skips_archive_when_images_present(self, tmp_path):
+        from multimodal_classification_tpu.data.images import acquire_images
+
+        img_dir = tmp_path / "img"
+        img_dir.mkdir()
+        for i in range(5):
+            (img_dir / f"{i}.png").write_bytes(b"x")
+
+        def must_not_call(url, dest):
+            raise AssertionError("archive download should be skipped")
+
+        stats = acquire_images(str(tmp_path), [f"img/{i}.png" for i in range(5)],
+                               download_archive=must_not_call,
+                               fetch=must_not_call,
+                               skip_archive_threshold=3)
+        assert stats["skipped_archive"] and stats["fetched"] == 0
+
+    def test_tar_traversal_rejected(self, tmp_path):
+        import io
+        import tarfile
+
+        import pytest as _pytest
+
+        from multimodal_classification_tpu.data.images import safe_extract_tar
+
+        evil = tmp_path / "evil.tar.gz"
+        with tarfile.open(evil, "w:gz") as tar:
+            info = tarfile.TarInfo("../escape.png")
+            info.size = 1
+            tar.addfile(info, io.BytesIO(b"x"))
+        dest = tmp_path / "out"
+        dest.mkdir()
+        with _pytest.raises(ValueError, match="unsafe tar member"):
+            safe_extract_tar(str(evil), str(dest))
+        assert not (tmp_path / "escape.png").exists()
