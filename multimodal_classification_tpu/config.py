@@ -102,6 +102,18 @@ class ViLBERTConfig:
     # seq 32: 2.76 vs 3.20 ms @1, 15.7 vs 17.0 @64; seq 128: 8.1 vs 9.4 @16,
     # 25.6 vs 29.2 @64).
     fused_ffn: bool = True
+    # Fuse each self-attention SUB-BLOCK (q/k/v/out projections + masked
+    # softmax attention + residual LayerNorm) into one VMEM-resident Pallas
+    # kernel at EVAL time — together with fused_ffn this turns a transformer
+    # layer into two Pallas calls instead of ~10 XLA fusions. Targets the
+    # per-fusion dispatch overhead that dominates the eval step at serving
+    # shapes (batch-64 profile: ~212 fusions, dense ops ~10-60 µs each).
+    # Weights stay resident across the row sweep; attention is computed
+    # block-diagonally over whole batch items (see
+    # ops/pallas_kernels/fused_attn_block.py). int8-quantized layers use the
+    # int8 variant (input quantized once for q/k/v). Training keeps the
+    # unfused path. Default OFF until the on-hardware A/B lands.
+    fused_attn_block: bool = False
     # Rematerialise encoder layers to trade FLOPs for HBM
     remat: bool = False
     # Scan-over-layers: run the encoder as ONE nn.scan over its regular

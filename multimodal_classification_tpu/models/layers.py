@@ -112,10 +112,19 @@ class SelfAttention(nn.Module):
     attention_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, hidden, bias, deterministic: bool):
+    def __call__(self, hidden, bias, deterministic: bool,
+                 params_only: bool = False):
         # NOTE: concatenating q/k/v into one fused matmul was measured SLOWER
         # end-to-end on v5e (22.0 → 22.8 ms/step) — XLA already schedules the
         # three matmuls well and the weight concat adds per-step traffic.
+        if params_only:
+            # probe for the fused attention-block kernel (ops/pallas_kernels/
+            # fused_attn_block.py): raw tagged params, no compute
+            return (
+                make_dense(self.hidden_size, self.dtype, "query")(hidden, return_params=True),
+                make_dense(self.hidden_size, self.dtype, "key")(hidden, return_params=True),
+                make_dense(self.hidden_size, self.dtype, "value")(hidden, return_params=True),
+            )
         q = make_dense(self.hidden_size, self.dtype, "query")(hidden)
         k = make_dense(self.hidden_size, self.dtype, "key")(hidden)
         v = make_dense(self.hidden_size, self.dtype, "value")(hidden)
@@ -178,10 +187,21 @@ class ResidualOutput(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, residual=None, deterministic: bool = True,
-                 params_only: bool = False, precomputed=None):
+                 params_only: bool = False, precomputed=None,
+                 with_ln: bool = False):
         dense = make_dense(self.hidden_size, self.dtype, "dense")
         if params_only:
-            return dense(hidden, return_params=True)
+            p = dense(hidden, return_params=True)
+            if not with_ln:
+                return p
+            # probe the LayerNorm params too (fused attention-block kernel
+            # applies the residual LN in-kernel). The zeros call creates the
+            # params exactly as the compute path would; its result is dead
+            # code XLA removes.
+            ln = make_layernorm("LayerNorm")
+            _ = ln(jnp.zeros((1, self.hidden_size), jnp.float32))
+            lnp = ln.variables["params"]
+            return p, lnp["scale"], lnp["bias"]
         h = precomputed if precomputed is not None else dense(hidden)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         out = make_layernorm("LayerNorm")(h.astype(jnp.float32) + residual.astype(jnp.float32))
@@ -254,25 +274,75 @@ class TransformerLayer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     attention_impl: str = "auto"
     fused_ffn: bool = False
+    fused_block: bool = False
 
     @nn.compact
     def __call__(self, hidden, bias, deterministic: bool):
-        attn_ctx = SelfAttention(
+        attn = SelfAttention(
             self.hidden_size,
             self.num_heads,
             self.attention_dropout,
             self.dtype,
             self.attention_impl,
             name="attention",
-        )(hidden, bias, deterministic)
-        attn_out = ResidualOutput(
+        )
+        out_mod = ResidualOutput(
             self.hidden_size, self.hidden_dropout, self.dtype, name="attention_output"
-        )(attn_ctx, hidden, deterministic)
+        )
+        attn_out = None
+        if self.fused_block and deterministic:
+            attn_out = _try_fused_attn_block(
+                attn, out_mod, hidden, bias, self.num_heads)
+        if attn_out is None:
+            attn_ctx = attn(hidden, bias, deterministic)
+            attn_out = out_mod(attn_ctx, hidden, deterministic)
         return apply_ffn(
             Intermediate(self.intermediate_size, self.dtype, name="intermediate"),
             ResidualOutput(self.hidden_size, self.hidden_dropout, self.dtype, name="output"),
             attn_out, deterministic, self.fused_ffn,
         )
+
+
+def _try_fused_attn_block(attn_mod: "SelfAttention", out_mod: "ResidualOutput",
+                          hidden, bias, num_heads: int):
+    """Dispatch the whole attention sub-block (q/k/v/out projections +
+    masked attention + residual LayerNorm) to one Pallas kernel
+    (ops/pallas_kernels/fused_attn_block.py). Returns None — falling back to
+    the unfused modules — off TPU, at unsupported shapes, under calibration,
+    for static-calibrated int8 layers, or when the four denses took mixed
+    quantization paths. Eval only (caller gates on deterministic)."""
+    probes = attn_mod(hidden, None, True, params_only=True)
+    out_probe = out_mod(hidden, params_only=True, with_ln=True)
+    if out_probe is None or any(p is None for p in probes):
+        return None
+    (pq, pk, pv), (po, ln_scale, ln_bias) = probes, out_probe
+    if po is None:
+        return None
+    tags = {pq[0], pk[0], pv[0], po[0]}
+    if len(tags) != 1:
+        return None
+    b, s, _ = hidden.shape
+    key_bias = (
+        bias.reshape(b, s).astype(jnp.float32)
+        if bias is not None else jnp.zeros((b, s), jnp.float32)
+    )
+    from multimodal_classification_tpu.ops.pallas_kernels import (
+        maybe_fused_attn_block,
+        maybe_fused_attn_block_int8,
+    )
+
+    if tags == {"float"}:
+        thunk = maybe_fused_attn_block(
+            hidden, key_bias, pq[1], pq[2], pk[1], pk[2], pv[1], pv[2],
+            po[1], po[2], ln_scale, ln_bias, num_heads,
+        )
+    else:
+        thunk = maybe_fused_attn_block_int8(
+            hidden, key_bias,
+            pq[1], pq[2], pq[3], pk[1], pk[2], pk[3], pv[1], pv[2], pv[3],
+            po[1], po[2], po[3], ln_scale, ln_bias, num_heads,
+        )
+    return thunk() if thunk is not None else None
 
 
 class TextEmbeddings(nn.Module):

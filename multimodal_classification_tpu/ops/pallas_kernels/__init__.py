@@ -119,3 +119,48 @@ def maybe_fused_bi_attention(
     return lambda: bk.fused_bi_attention(
         q1, k2, v2, q2, k1, v1, bias1, bias2, dropout_rate, dropout_rngs
     )
+
+
+def maybe_fused_attn_block(
+    x3, key_bias, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, num_heads: int
+) -> Optional[Callable[[], jnp.ndarray]]:
+    """Whole post-LN self-attention block (q/k/v/out projections + masked
+    softmax attention + residual LayerNorm) in one VMEM-resident Pallas pass,
+    or None for the unfused XLA path. Eval-path only (the caller gates on
+    deterministic); see fused_attn_block.py for the dispatch-shape rules."""
+    if not on_tpu():
+        return None
+    from multimodal_classification_tpu.ops.pallas_kernels import (
+        fused_attn_block as ab_k,
+    )
+
+    b, s, hd = x3.shape
+    if wq.shape != (hd, hd) or not ab_k.supported(b, s, hd, num_heads, x3.dtype):
+        return None
+    return lambda: ab_k.fused_attn_block(
+        x3, key_bias, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, num_heads
+    )
+
+
+def maybe_fused_attn_block_int8(
+    x3, key_bias, qq, sq, bq, qk, sk, bk, qv, sv, bv, qo, so, bo,
+    gamma, beta, num_heads: int
+) -> Optional[Callable[[], jnp.ndarray]]:
+    """Int8 twin of :func:`maybe_fused_attn_block` for serving-int8-quantized
+    layers: all four projections on the int8 MXU with int8 weights resident,
+    the input block row-quantized ONCE for q/k/v."""
+    if not on_tpu():
+        return None
+    from multimodal_classification_tpu.ops.pallas_kernels import (
+        fused_attn_block as ab_k,
+    )
+
+    b, s, hd = x3.shape
+    if qq.shape != (hd, hd) or not ab_k.supported(
+        b, s, hd, num_heads, x3.dtype, int8=True
+    ):
+        return None
+    return lambda: ab_k.fused_attn_block_int8(
+        x3, key_bias, qq, sq, bq, qk, sk, bk, qv, sv, bv, qo, so, bo,
+        gamma, beta, num_heads
+    )

@@ -82,9 +82,12 @@ class ServingModel:
         self.feature_dim = feature_dim
         self.batch_size = batch_size
         self.params = params
-        if mesh is not None and getattr(model.cfg, "fused_ffn", False):
-            # tensor-parallel serving shards the FFN weights over mp; the
-            # fused Pallas kernel expects whole (replicated) weight operands,
+        if mesh is not None and (
+            getattr(model.cfg, "fused_ffn", False)
+            or getattr(model.cfg, "fused_attn_block", False)
+        ):
+            # tensor-parallel serving shards the layer weights over mp; the
+            # fused Pallas kernels expect whole (replicated) weight operands,
             # so the partitioner would have to all-gather them every call —
             # keep the unfused XLA path, which shards cleanly.
             import dataclasses
@@ -93,7 +96,8 @@ class ServingModel:
                 ViLBERTForClassification,
             )
 
-            model = ViLBERTForClassification(dataclasses.replace(model.cfg, fused_ffn=False))
+            model = ViLBERTForClassification(dataclasses.replace(
+                model.cfg, fused_ffn=False, fused_attn_block=False))
         self._model = model
         if int8:
             from multimodal_classification_tpu.ops.quant import build_quant_tree
@@ -343,6 +347,11 @@ class InferenceServer:
         batcher = self.batcher
 
         class Handler(BaseHTTPRequestHandler):
+            # keep-alive: clients reuse connections instead of paying a TCP
+            # handshake per request (every _send sets Content-Length, which
+            # HTTP/1.1 persistent connections require)
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet
                 pass
 

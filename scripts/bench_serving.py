@@ -56,6 +56,10 @@ def main() -> int:
 
     model = ViLBERTForClassification(_dc.replace(cfg, fused_ffn=False))
     model_ffn = ViLBERTForClassification(_dc.replace(cfg, fused_ffn=True))
+    # "blk"/"blk8": fused attention-BLOCK kernel on top of the fused FFN —
+    # a text/visual transformer layer becomes two Pallas calls
+    model_blk = ViLBERTForClassification(
+        _dc.replace(cfg, fused_ffn=True, fused_attn_block=True))
     from multimodal_classification_tpu.utils.xla_options import (
         compiler_options_from_env,
     )
@@ -67,6 +71,8 @@ def main() -> int:
     # "int8f": int8 quant + the fused int8 FFN kernel (int8 MXU dots with
     # VMEM-resident int8 weights) — the shipping default when serving_int8
     quant_ffn_step = jax.jit(make_quant_eval_step(model_ffn), compiler_options=copts)
+    blk_step = jax.jit(make_eval_step(model_blk), compiler_options=copts)
+    quant_blk_step = jax.jit(make_quant_eval_step(model_blk), compiler_options=copts)
 
     batches = tuple(
         int(b) for b in os.environ.get("SERVING_BATCHES", "1,16,64").split(",")
@@ -101,6 +107,8 @@ def main() -> int:
             "int8": lambda b: quant_step(params, quant, model_inputs(b)),
             "int8f": lambda b: quant_ffn_step(params, quant, model_inputs(b)),
             "int8s": lambda b: quant_step(params, quant_static, model_inputs(b)),
+            "blk": lambda b: blk_step(params, model_inputs(b)),
+            "blk8": lambda b: quant_blk_step(params, quant, model_inputs(b)),
         }
         for name, step in ((p, steps[p]) for p in paths):
             for _ in range(3):
