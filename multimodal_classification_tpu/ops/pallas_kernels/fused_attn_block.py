@@ -112,8 +112,14 @@ def _masked_block_attention(q, k, v, key_bias_row, seq: int, num_heads: int,
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale + add
         p = jax.nn.softmax(s, axis=-1).astype(cdt)
+        # Mosaic requires a 32-bit matmul accumulator: accumulate f32 and
+        # round — identical numerics to the bf16-out dot the XLA twin takes
+        # (the MXU accumulates f32 internally either way)
         ctx.append(
-            jax.lax.dot_general(p, vh, (((1,), (0,)), ((), ())))
+            jax.lax.dot_general(
+                p, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
         )
     return jnp.concatenate(ctx, axis=1)
 
@@ -142,13 +148,20 @@ def _rowquant(xf):
 def _kernel(x_ref, bias_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
             wo_ref, bo_ref, g_ref, b_ref, o_ref, *, seq, num_heads):
     cdt = x_ref.dtype
+
+    def dense(x, w_ref, b_ref_):
+        # f32 MXU accumulation rounded to the compute dtype — exactly what
+        # QuantizableDense's bf16-out dot does (Mosaic additionally requires
+        # the accumulator be 32-bit, hence the explicit preferred type)
+        y = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
+        return y.astype(cdt) + b_ref_[0:1, :].astype(cdt)
+
     x = x_ref[:]
-    # dense outputs round to the compute dtype, exactly like QuantizableDense
-    q = jnp.dot(x, wq_ref[:]) + bq_ref[0:1, :].astype(cdt)
-    k = jnp.dot(x, wk_ref[:]) + bk_ref[0:1, :].astype(cdt)
-    v = jnp.dot(x, wv_ref[:]) + bv_ref[0:1, :].astype(cdt)
+    q = dense(x, wq_ref, bq_ref)
+    k = dense(x, wk_ref, bk_ref)
+    v = dense(x, wv_ref, bv_ref)
     ctx = _masked_block_attention(q, k, v, bias_ref[0:1, :], seq, num_heads, cdt)
-    a = jnp.dot(ctx, wo_ref[:]) + bo_ref[0:1, :].astype(cdt)
+    a = dense(ctx, wo_ref, bo_ref)
     h = _layernorm_f32(
         a.astype(jnp.float32) + x.astype(jnp.float32),
         g_ref[0:1, :], b_ref[0:1, :],

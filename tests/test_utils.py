@@ -162,3 +162,48 @@ class TestXlaOptions:
         assert xla_options.compiler_options_from_env() == {"x": "1"}
         monkeypatch.setenv(xla_options.ENV_VAR, "")
         assert xla_options.compiler_options_from_env() is None
+
+
+class TestNotebooks:
+    """The committed analysis notebooks (counterparts of the reference's
+    notebooks/) must actually run offline: every code cell executes against
+    fabricated fixtures in one shared namespace."""
+
+    @staticmethod
+    def _code_cells(name):
+        import json
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo, "notebooks", name)) as f:
+            nb = json.load(f)
+        return ["".join(c["source"]) for c in nb["cells"]
+                if c["cell_type"] == "code"]
+
+    def test_hateful_memes_notebook(self, tmp_path, monkeypatch):
+        from tests.fixtures import make_dataset_dir
+
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        d, splits = make_dataset_dir(raw)
+        # pre-create every image so the offline run has nothing to fetch
+        os.makedirs(os.path.join(d, "img"), exist_ok=True)
+        for df in splits.values():
+            for name in df["img"]:
+                with open(os.path.join(d, name), "wb") as f:
+                    f.write(b"\x89PNG fake")
+        monkeypatch.setenv("HM_DATA_DIR", d)
+        ns = {}
+        for cell in self._code_cells("hateful_memes.ipynb"):
+            exec(cell, ns)
+        # every image pre-created → nothing to fetch, nothing missing
+        assert ns["stats"]["missing"] == 0 and ns["stats"]["fetched"] == 0
+
+    def test_model_comparison_notebook(self, tmp_path, monkeypatch):
+        TestPlots()._fake_runs(tmp_path / "mlruns")
+        monkeypatch.setenv("HM_MLRUNS", str(tmp_path / "mlruns"))
+        monkeypatch.chdir(tmp_path)
+        ns = {}
+        for cell in self._code_cells("model_comparison.ipynb"):
+            exec(cell, ns)
+        assert len(ns["paths"]) >= 4
+        assert all(os.path.exists(p) for p in ns["paths"])
