@@ -119,6 +119,13 @@ class ViLBERTConfig:
     # config (the 1024-d visual layers exceed the VMEM budget and fall back
     # per-layer).
     fused_attn_block: bool = True
+    # Fuse each co-attention DIRECTION (q + cross-stream k/v projections +
+    # masked cross-attention + output projection + residual LayerNorm) into
+    # one VMEM-resident Pallas kernel at EVAL time — a BiAttention block
+    # becomes two kernels + the two (already fused) per-stream FFNs
+    # (ops/pallas_kernels/fused_co_block.py). Same dispatch rules as
+    # fused_attn_block. Default OFF until the on-hardware A/B lands.
+    fused_co_attn: bool = False
     # Rematerialise encoder layers to trade FLOPs for HBM
     remat: bool = False
     # Scan-over-layers: run the encoder as ONE nn.scan over its regular

@@ -67,12 +67,52 @@ class BiAttentionBlock(nn.Module):
         bi = cfg.bi_hidden_size
         heads = cfg.bi_num_attention_heads
 
-        q1 = make_dense(bi, self.dtype, "query1")(v_hidden)
-        k1 = make_dense(bi, self.dtype, "key1")(v_hidden)
-        v1 = make_dense(bi, self.dtype, "value1")(v_hidden)
-        q2 = make_dense(bi, self.dtype, "query2")(t_hidden)
-        k2 = make_dense(bi, self.dtype, "key2")(t_hidden)
-        v2 = make_dense(bi, self.dtype, "value2")(t_hidden)
+        d_q1 = make_dense(bi, self.dtype, "query1")
+        d_k1 = make_dense(bi, self.dtype, "key1")
+        d_v1 = make_dense(bi, self.dtype, "value1")
+        d_q2 = make_dense(bi, self.dtype, "query2")
+        d_k2 = make_dense(bi, self.dtype, "key2")
+        d_v2 = make_dense(bi, self.dtype, "value2")
+        out_v = ResidualOutput(
+            cfg.v_hidden_size, cfg.hidden_dropout_prob, self.dtype,
+            name="v_output_attn")
+        out_t = ResidualOutput(
+            cfg.hidden_size, cfg.hidden_dropout_prob, self.dtype,
+            name="t_output_attn")
+
+        if cfg.fused_co_attn and deterministic:
+            # whole-direction Pallas kernels (q + cross k/v + attention +
+            # out-proj + residual LN per direction); falls back below when
+            # the dispatch refuses (off-TPU, shapes, mixed quantization)
+            fused = _try_fused_co_block(
+                (d_q1, d_k1, d_v1), (d_q2, d_k2, d_v2), out_v, out_t,
+                v_hidden, t_hidden, v_bias, t_bias, heads,
+            )
+            if fused is not None:
+                v_attn, t_attn = fused
+                fused_ffn = cfg.fused_ffn and deterministic
+                v_out = apply_ffn(
+                    Intermediate(cfg.v_intermediate_size, self.dtype,
+                                 name="v_intermediate"),
+                    ResidualOutput(cfg.v_hidden_size, cfg.v_hidden_dropout_prob,
+                                   self.dtype, name="v_output"),
+                    v_attn, deterministic, fused_ffn,
+                )
+                t_out = apply_ffn(
+                    Intermediate(cfg.intermediate_size, self.dtype,
+                                 name="t_intermediate"),
+                    ResidualOutput(cfg.hidden_size, cfg.hidden_dropout_prob,
+                                   self.dtype, name="t_output"),
+                    t_attn, deterministic, fused_ffn,
+                )
+                return v_out, t_out
+
+        q1 = d_q1(v_hidden)
+        k1 = d_k1(v_hidden)
+        v1 = d_v1(v_hidden)
+        q2 = d_q2(t_hidden)
+        k2 = d_k2(t_hidden)
+        v2 = d_v2(t_hidden)
 
         rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
         rngs = None
@@ -94,12 +134,8 @@ class BiAttentionBlock(nn.Module):
         # vilbert_facebook_arch.py:324-338; we do not create them). Note the
         # reference's BiOutput uses hidden_dropout_prob for BOTH streams
         # (one shared nn.Dropout, :318-338).
-        v_attn = ResidualOutput(
-            cfg.v_hidden_size, cfg.hidden_dropout_prob, self.dtype, name="v_output_attn"
-        )(v_ctx, v_hidden, deterministic)
-        t_attn = ResidualOutput(
-            cfg.hidden_size, cfg.hidden_dropout_prob, self.dtype, name="t_output_attn"
-        )(t_ctx, t_hidden, deterministic)
+        v_attn = out_v(v_ctx, v_hidden, deterministic)
+        t_attn = out_t(t_ctx, t_hidden, deterministic)
 
         fused = cfg.fused_ffn and deterministic
         v_out = apply_ffn(
@@ -115,6 +151,71 @@ class BiAttentionBlock(nn.Module):
             t_attn, deterministic, fused,
         )
         return v_out, t_out
+
+
+def _try_fused_co_block(v_denses, t_denses, out_v, out_t,
+                        v_hidden, t_hidden, v_bias, t_bias, num_heads: int):
+    """Dispatch both co-attention directions to the fused Pallas kernels
+    (ops/pallas_kernels/fused_co_block.py). Returns (v_attn, t_attn) or
+    None — falling back to the unfused modules — off TPU, at unsupported
+    shapes, under calibration, or when the denses took mixed quantization
+    paths. Eval only (caller gates on deterministic)."""
+    pq1, pk1, pv1 = (d(v_hidden, return_params=True) for d in v_denses)
+    pq2, pk2, pv2 = (d(t_hidden, return_params=True) for d in t_denses)
+    ov = out_v(v_hidden, params_only=True, with_ln=True)
+    ot = out_t(t_hidden, params_only=True, with_ln=True)
+    probes = (pq1, pk1, pv1, pq2, pk2, pv2)
+    if ov is None or ot is None or any(p is None for p in probes):
+        return None
+    (pov, lnv_scale, lnv_bias), (pot, lnt_scale, lnt_bias) = ov, ot
+    if pov is None or pot is None:
+        return None
+    tags = {p[0] for p in probes} | {pov[0], pot[0]}
+    if len(tags) != 1:
+        return None
+    bv, st = v_hidden.shape[0], t_hidden.shape[1]
+    sv = v_hidden.shape[1]
+    t_key_bias = (
+        t_bias.reshape(bv, st).astype(jnp.float32)
+        if t_bias is not None else jnp.zeros((bv, st), jnp.float32)
+    )
+    v_key_bias = (
+        v_bias.reshape(bv, sv).astype(jnp.float32)
+        if v_bias is not None else jnp.zeros((bv, sv), jnp.float32)
+    )
+    from multimodal_classification_tpu.ops.pallas_kernels import (
+        maybe_fused_co_dir,
+        maybe_fused_co_dir_int8,
+    )
+
+    if tags == {"float"}:
+        # v→t direction: visual queries (q1) over text keys/values (k2, v2)
+        thunk_v = maybe_fused_co_dir(
+            v_hidden, t_hidden, t_key_bias,
+            pq1[1], pq1[2], pk2[1], pk2[2], pv2[1], pv2[2],
+            pov[1], pov[2], lnv_scale, lnv_bias, num_heads,
+        )
+        thunk_t = maybe_fused_co_dir(
+            t_hidden, v_hidden, v_key_bias,
+            pq2[1], pq2[2], pk1[1], pk1[2], pv1[1], pv1[2],
+            pot[1], pot[2], lnt_scale, lnt_bias, num_heads,
+        )
+    else:
+        thunk_v = maybe_fused_co_dir_int8(
+            v_hidden, t_hidden, t_key_bias,
+            pq1[1], pq1[2], pq1[3], pk2[1], pk2[2], pk2[3],
+            pv2[1], pv2[2], pv2[3], pov[1], pov[2], pov[3],
+            lnv_scale, lnv_bias, num_heads,
+        )
+        thunk_t = maybe_fused_co_dir_int8(
+            t_hidden, v_hidden, v_key_bias,
+            pq2[1], pq2[2], pq2[3], pk1[1], pk1[2], pk1[3],
+            pv1[1], pv1[2], pv1[3], pot[1], pot[2], pot[3],
+            lnt_scale, lnt_bias, num_heads,
+        )
+    if thunk_v is None or thunk_t is None:
+        return None
+    return thunk_v(), thunk_t()
 
 
 class ConnectionBlock(nn.Module):

@@ -164,3 +164,54 @@ def maybe_fused_attn_block_int8(
         x3, key_bias, qq, sq, bq, qk, sk, bk, qv, sv, bv, qo, so, bo,
         gamma, beta, num_heads
     )
+
+
+def maybe_fused_co_dir(
+    xq3, xkv3, key_bias, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta,
+    num_heads: int
+) -> Optional[Callable[[], jnp.ndarray]]:
+    """One co-attention direction (q/k/v/out projections + masked
+    cross-attention + residual LayerNorm) in one VMEM-resident Pallas pass,
+    or None for the unfused XLA path. Eval only (caller gates)."""
+    if not on_tpu():
+        return None
+    from multimodal_classification_tpu.ops.pallas_kernels import (
+        fused_co_block as co_k,
+    )
+
+    _, sq, hq = xq3.shape
+    _, sk, hkv = xkv3.shape
+    bi = wq.shape[1]
+    if wq.shape[0] != hq or wk.shape != (hkv, bi) or wo.shape != (bi, hq):
+        return None
+    if not co_k.supported_co(sq, sk, hq, hkv, bi, num_heads, xq3.dtype):
+        return None
+    return lambda: co_k.fused_co_dir(
+        xq3, xkv3, key_bias, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta,
+        num_heads
+    )
+
+
+def maybe_fused_co_dir_int8(
+    xq3, xkv3, key_bias, qq, sq_, bq, qk, sk_, bk, qv, sv_, bv,
+    qo, so_, bo, gamma, beta, num_heads: int
+) -> Optional[Callable[[], jnp.ndarray]]:
+    """Int8 twin of :func:`maybe_fused_co_dir`."""
+    if not on_tpu():
+        return None
+    from multimodal_classification_tpu.ops.pallas_kernels import (
+        fused_co_block as co_k,
+    )
+
+    _, sq, hq = xq3.shape
+    _, sk, hkv = xkv3.shape
+    bi = qq.shape[1]
+    if qq.shape[0] != hq or qk.shape != (hkv, bi) or qo.shape != (bi, hq):
+        return None
+    if not co_k.supported_co(sq, sk, hq, hkv, bi, num_heads, xq3.dtype,
+                             int8=True):
+        return None
+    return lambda: co_k.fused_co_dir_int8(
+        xq3, xkv3, key_bias, qq, sq_, bq, qk, sk_, bk, qv, sv_, bv,
+        qo, so_, bo, gamma, beta, num_heads
+    )

@@ -54,26 +54,31 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_bb(seq: int, hidden: int, itemsize: int, int8: bool) -> int:
-    """Rows per program = bb*seq: large enough for MXU tiles, small enough
-    that weights + activations + one [R, R] score matrix fit VMEM."""
+def _pick_layout(seq: int, hidden: int, itemsize: int, int8: bool):
+    """Choose (padded per-item rows s_p, items per program bb) such that the
+    program's row count R = bb*s_p is lane-aligned (%128 — the key-bias
+    block rides with R on the LANE axis, and Mosaic requires lane blocks be
+    128-divisible) and the working set — weights + activations + one [R, R]
+    score matrix — fits VMEM. Prefers the smallest padding, then the
+    largest block. Returns (0, 0) when nothing fits."""
     weights = 4 * hidden * hidden * (1 if int8 else itemsize)
-    tile = 32 if int8 else (8 if itemsize == 4 else 16)
-    for bb in (16, 8, 4, 2, 1):
-        r = bb * seq
-        if r % tile or r > 1024:
-            continue
-        working = (
-            weights
-            + 4 * r * hidden * itemsize        # x in/out, double-buffered
-            + 4 * r * hidden * itemsize        # q/k/v/ctx (compute dtype)
-            + 2 * r * r * 4                    # scores + probs (f32)
-            + r * hidden * 4                   # f32 residual/LN temp
-            + (r * hidden if int8 else 0)      # quantized input block
-        )
-        if working <= _VMEM_BUDGET:
-            return bb
-    return 0
+    for mult in (16, 32, 64, 128):
+        s_p = _round_up(seq, mult)
+        for bb in (16, 8, 4, 2, 1):
+            r = bb * s_p
+            if r % 128 or r > 1024:
+                continue
+            working = (
+                weights
+                + 4 * r * hidden * itemsize    # x in/out, double-buffered
+                + 4 * r * hidden * itemsize    # q/k/v/ctx (compute dtype)
+                + 2 * r * r * 4                # scores + probs (f32)
+                + r * hidden * 4               # f32 residual/LN temp
+                + (r * hidden if int8 else 0)  # quantized input block
+            )
+            if working <= _VMEM_BUDGET:
+                return s_p, bb
+    return 0, 0
 
 
 def supported(batch: int, seq: int, hidden: int, num_heads: int, dtype,
@@ -82,7 +87,7 @@ def supported(batch: int, seq: int, hidden: int, num_heads: int, dtype,
         return False
     if (hidden // num_heads) % 64:
         return False
-    return _pick_bb(seq, hidden, jnp.dtype(dtype).itemsize, int8) > 0
+    return _pick_layout(seq, hidden, jnp.dtype(dtype).itemsize, int8)[1] > 0
 
 
 # ---------------------------------------------------------------------------
@@ -90,16 +95,18 @@ def supported(batch: int, seq: int, hidden: int, num_heads: int, dtype,
 # ---------------------------------------------------------------------------
 
 
-def _masked_block_attention(q, k, v, key_bias_row, seq: int, num_heads: int,
-                            cdt):
-    """Attention over a [R, H] block holding R//seq whole items, computed per
-    head as one [R, R] dot masked block-diagonally. ``key_bias_row``:
-    [1, R] f32 additive key bias (0 / NEG_INF). Returns [R, H] in ``cdt``."""
-    r = q.shape[0]
+def _masked_cross_attention(q, k, v, key_bias_row, sq: int, sk: int,
+                            num_heads: int, cdt):
+    """Attention of a [Rq, H] query block over a [Rk, H] key/value block,
+    both holding the same whole items (Rq//sq == Rk//sk), computed per head
+    as one [Rq, Rk] dot masked block-diagonally (queries only see their own
+    item's keys). ``key_bias_row``: [1, Rk] f32 additive key bias
+    (0 / NEG_INF). Returns [Rq, H] in ``cdt``."""
+    rq, rk = q.shape[0], k.shape[0]
     d = q.shape[1] // num_heads
     scale = 1.0 / (d ** 0.5)
-    item_row = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0) // seq
-    item_col = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1) // seq
+    item_row = jax.lax.broadcasted_iota(jnp.int32, (rq, rk), 0) // sq
+    item_col = jax.lax.broadcasted_iota(jnp.int32, (rq, rk), 1) // sk
     cross = jnp.where(item_row == item_col, 0.0, NEG_INF).astype(jnp.float32)
     add = cross + key_bias_row.astype(jnp.float32)
 
@@ -122,6 +129,12 @@ def _masked_block_attention(q, k, v, key_bias_row, seq: int, num_heads: int,
             ).astype(cdt)
         )
     return jnp.concatenate(ctx, axis=1)
+
+
+def _masked_block_attention(q, k, v, key_bias_row, seq: int, num_heads: int,
+                            cdt):
+    return _masked_cross_attention(q, k, v, key_bias_row, seq, seq,
+                                   num_heads, cdt)
 
 
 def _layernorm_f32(x, gamma_row, beta_row):
@@ -206,20 +219,30 @@ def _replicate(vec):
     )
 
 
+def _pad_items(x3, key_bias, bb: int, s_p: int):
+    """Pad the batch to a block multiple and each item's rows to the tiled
+    per-item count; padded rows get NEG_INF key bias so no real row attends
+    to them (their own outputs are garbage, sliced off by the caller)."""
+    b, s, hd = x3.shape
+    b_p = _round_up(b, bb)
+    if b_p != b or s_p != s:
+        x3 = jnp.pad(x3, ((0, b_p - b), (0, s_p - s), (0, 0)))
+        key_bias = jnp.pad(key_bias, ((0, b_p - b), (0, s_p - s)),
+                           constant_values=NEG_INF)
+    return x3, key_bias, b_p
+
+
 def _run(num_heads, x3, key_bias, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta):
     b, s, hd = x3.shape
     cdt = x3.dtype
-    bb = _pick_bb(s, hd, jnp.dtype(cdt).itemsize, int8=False)
-    b_p = _round_up(b, bb)
-    if b_p != b:
-        x3 = jnp.pad(x3, ((0, b_p - b), (0, 0), (0, 0)))
-        key_bias = jnp.pad(key_bias, ((0, b_p - b), (0, 0)))
-    r = bb * s
-    x2 = x3.reshape(b_p * s, hd)
+    s_p, bb = _pick_layout(s, hd, jnp.dtype(cdt).itemsize, int8=False)
+    x3, key_bias, b_p = _pad_items(x3, key_bias, bb, s_p)
+    r = bb * s_p
+    x2 = x3.reshape(b_p * s_p, hd)
     # key bias rides sublane-replicated [8, rows] (flat rows fall foul of the
     # Mosaic (8,128) tiling rule, like the flash kernel's row stats)
     bias_rep = jnp.broadcast_to(
-        key_bias.reshape(1, b_p * s).astype(jnp.float32), (_SUBLANE, b_p * s)
+        key_bias.reshape(1, b_p * s_p).astype(jnp.float32), (_SUBLANE, b_p * s_p)
     )
     operands = [
         x2, bias_rep,
@@ -233,23 +256,23 @@ def _run(num_heads, x3, key_bias, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta):
         a.shape, lambda n: (0,) * a.ndim, memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, seq=s, num_heads=num_heads),
-        grid=(b_p * s // r,),
+        functools.partial(_kernel, seq=s_p, num_heads=num_heads),
+        grid=(b_p * s_p // r,),
         in_specs=[
             pl.BlockSpec((r, hd), lambda n: (n, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_SUBLANE, r), lambda n: (0, n), memory_space=pltpu.VMEM),
         ] + [const(a) for a in operands[2:]],
         out_specs=pl.BlockSpec((r, hd), lambda n: (n, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_p * s, hd), cdt),
+        out_shape=jax.ShapeDtypeStruct((b_p * s_p, hd), cdt),
         cost_estimate=pl.CostEstimate(
-            flops=8 * b_p * s * hd * hd + 4 * (b_p * s) * r * hd,
-            bytes_accessed=(2 * b_p * s * hd + 4 * hd * hd)
+            flops=8 * b_p * s_p * hd * hd + 4 * (b_p * s_p) * r * hd,
+            bytes_accessed=(2 * b_p * s_p * hd + 4 * hd * hd)
             * jnp.dtype(cdt).itemsize,
-            transcendentals=b_p * s * r,
+            transcendentals=b_p * s_p * r,
         ),
     )(*operands)
-    out = out.reshape(b_p, s, hd)
-    return out[:b] if b_p != b else out
+    out = out.reshape(b_p, s_p, hd)
+    return out[:b, :s]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -362,15 +385,12 @@ def fused_attn_block_int8(x3, key_bias, qq, sq, bq, qk, sk, bk, qv, sv, bv,
     per-output-channel weight scales, biases/LN f32."""
     b, s, hd = x3.shape
     cdt = x3.dtype
-    bb = _pick_bb(s, hd, jnp.dtype(cdt).itemsize, int8=True)
-    b_p = _round_up(b, bb)
-    if b_p != b:
-        x3 = jnp.pad(x3, ((0, b_p - b), (0, 0), (0, 0)))
-        key_bias = jnp.pad(key_bias, ((0, b_p - b), (0, 0)))
-    r = bb * s
-    x2 = x3.reshape(b_p * s, hd)
+    s_p, bb = _pick_layout(s, hd, jnp.dtype(cdt).itemsize, int8=True)
+    x3, key_bias, b_p = _pad_items(x3, key_bias, bb, s_p)
+    r = bb * s_p
+    x2 = x3.reshape(b_p * s_p, hd)
     bias_rep = jnp.broadcast_to(
-        key_bias.reshape(1, b_p * s).astype(jnp.float32), (_SUBLANE, b_p * s)
+        key_bias.reshape(1, b_p * s_p).astype(jnp.float32), (_SUBLANE, b_p * s_p)
     )
     operands = [
         x2, bias_rep,
@@ -384,20 +404,20 @@ def fused_attn_block_int8(x3, key_bias, qq, sq, bq, qk, sk, bk, qv, sv, bv,
         a.shape, lambda n: (0,) * a.ndim, memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_int8, seq=s, num_heads=num_heads),
-        grid=(b_p * s // r,),
+        functools.partial(_kernel_int8, seq=s_p, num_heads=num_heads),
+        grid=(b_p * s_p // r,),
         in_specs=[
             pl.BlockSpec((r, hd), lambda n: (n, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_SUBLANE, r), lambda n: (0, n), memory_space=pltpu.VMEM),
         ] + [const(a) for a in operands[2:]],
         out_specs=pl.BlockSpec((r, hd), lambda n: (n, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_p * s, hd), cdt),
+        out_shape=jax.ShapeDtypeStruct((b_p * s_p, hd), cdt),
         cost_estimate=pl.CostEstimate(
-            flops=8 * b_p * s * hd * hd + 4 * (b_p * s) * r * hd,
-            bytes_accessed=2 * b_p * s * hd * jnp.dtype(cdt).itemsize
+            flops=8 * b_p * s_p * hd * hd + 4 * (b_p * s_p) * r * hd,
+            bytes_accessed=2 * b_p * s_p * hd * jnp.dtype(cdt).itemsize
             + 4 * hd * hd,
-            transcendentals=b_p * s * r,
+            transcendentals=b_p * s_p * r,
         ),
     )(*operands)
-    out = out.reshape(b_p, s, hd)
-    return out[:b] if b_p != b else out
+    out = out.reshape(b_p, s_p, hd)
+    return out[:b, :s]

@@ -54,12 +54,22 @@ def main() -> int:
     # FFN denses, which refuse the fused kernel per-layer.
     import dataclasses as _dc
 
-    model = ViLBERTForClassification(_dc.replace(cfg, fused_ffn=False))
-    model_ffn = ViLBERTForClassification(_dc.replace(cfg, fused_ffn=True))
+    # baselines pin BOTH fusion flags off/on explicitly so the A/B stays
+    # honest whatever the config defaults are
+    model = ViLBERTForClassification(
+        _dc.replace(cfg, fused_ffn=False, fused_attn_block=False))
+    model_ffn = ViLBERTForClassification(
+        _dc.replace(cfg, fused_ffn=True, fused_attn_block=False))
     # "blk"/"blk8": fused attention-BLOCK kernel on top of the fused FFN —
     # a text/visual transformer layer becomes two Pallas calls
     model_blk = ViLBERTForClassification(
-        _dc.replace(cfg, fused_ffn=True, fused_attn_block=True))
+        _dc.replace(cfg, fused_ffn=True, fused_attn_block=True,
+                    fused_co_attn=False))
+    # "coa"/"coa8": + fused co-attention directions — the whole encoder is
+    # Pallas kernels end to end
+    model_coa = ViLBERTForClassification(
+        _dc.replace(cfg, fused_ffn=True, fused_attn_block=True,
+                    fused_co_attn=True))
     from multimodal_classification_tpu.utils.xla_options import (
         compiler_options_from_env,
     )
@@ -73,6 +83,8 @@ def main() -> int:
     quant_ffn_step = jax.jit(make_quant_eval_step(model_ffn), compiler_options=copts)
     blk_step = jax.jit(make_eval_step(model_blk), compiler_options=copts)
     quant_blk_step = jax.jit(make_quant_eval_step(model_blk), compiler_options=copts)
+    coa_step = jax.jit(make_eval_step(model_coa), compiler_options=copts)
+    quant_coa_step = jax.jit(make_quant_eval_step(model_coa), compiler_options=copts)
 
     batches = tuple(
         int(b) for b in os.environ.get("SERVING_BATCHES", "1,16,64").split(",")
@@ -109,6 +121,8 @@ def main() -> int:
             "int8s": lambda b: quant_step(params, quant_static, model_inputs(b)),
             "blk": lambda b: blk_step(params, model_inputs(b)),
             "blk8": lambda b: quant_blk_step(params, quant, model_inputs(b)),
+            "coa": lambda b: coa_step(params, model_inputs(b)),
+            "coa8": lambda b: quant_coa_step(params, quant, model_inputs(b)),
         }
         for name, step in ((p, steps[p]) for p in paths):
             for _ in range(3):

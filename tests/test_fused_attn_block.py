@@ -54,7 +54,8 @@ def _quantize(w):
 
 
 class TestKernel:
-    @pytest.mark.parametrize("b,s,heads", [(4, 8, 2), (3, 8, 1), (2, 16, 2)])
+    @pytest.mark.parametrize("b,s,heads", [(4, 8, 2), (3, 8, 1), (2, 16, 2),
+                                           (2, 10, 2), (1, 25, 2)])
     def test_matches_reference(self, rng, b, s, heads):
         h = 128
         x, key_bias, ws, bs, gamma, beta = _mk(rng, b, s, h)
@@ -93,6 +94,20 @@ class TestKernel:
         g_x, g_w = jax.grad(loss, argnums=(0, 1))(x, ws[0])
         assert np.isfinite(np.asarray(g_x)).all()
         assert np.abs(np.asarray(g_w)).max() > 0
+
+    def test_int8_matches_int8_reference_padded_seq(self, rng):
+        """seq 10 pads to the 16-row tile in-kernel (the visual stream's
+        100 regions pad to 112 the same way) — parity must survive it."""
+        b, s, h, heads = 3, 10, 128, 2
+        x, key_bias, ws, bs, gamma, beta = _mk(rng, b, s, h)
+        qs = [_quantize(w) for w in ws]
+        args = [x, key_bias]
+        for (q, sc), bias in zip(qs, bs):
+            args += [q, sc, bias]
+        got = ak.fused_attn_block_int8(*args, gamma, beta, num_heads=heads)
+        want = ak.block_int8_reference(*args, gamma, beta, num_heads=heads)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
 
     def test_int8_matches_int8_reference(self, rng):
         b, s, h, heads = 4, 8, 128, 2
