@@ -124,8 +124,14 @@ class ViLBERTConfig:
     # one VMEM-resident Pallas kernel at EVAL time — a BiAttention block
     # becomes two kernels + the two (already fused) per-stream FFNs
     # (ops/pallas_kernels/fused_co_block.py). Same dispatch rules as
-    # fused_attn_block. Default OFF until the on-hardware A/B lands.
-    fused_co_attn: bool = False
+    # fused_attn_block, plus a measured batch/quantization policy:
+    #   "auto" (default) — fuse only the int8 path at batch >= 32, where the
+    #     same-run v5e A/B wins (seq32 @64: 5457 vs 5083 memes/s, +2-7%
+    #     across three reps); int8 @16 and @1 measured SLOWER fused
+    #     (3210 vs 3330 @16), and bf16 loses at 16/64, so auto refuses there.
+    #   True — always fuse where shapes allow (A/B escape hatch).
+    #   False — never.
+    fused_co_attn: "bool | str" = "auto"
     # Rematerialise encoder layers to trade FLOPs for HBM
     remat: bool = False
     # Scan-over-layers: run the encoder as ONE nn.scan over its regular

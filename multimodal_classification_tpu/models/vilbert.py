@@ -87,6 +87,7 @@ class BiAttentionBlock(nn.Module):
             fused = _try_fused_co_block(
                 (d_q1, d_k1, d_v1), (d_q2, d_k2, d_v2), out_v, out_t,
                 v_hidden, t_hidden, v_bias, t_bias, heads,
+                mode=cfg.fused_co_attn,
             )
             if fused is not None:
                 v_attn, t_attn = fused
@@ -154,24 +155,39 @@ class BiAttentionBlock(nn.Module):
 
 
 def _try_fused_co_block(v_denses, t_denses, out_v, out_t,
-                        v_hidden, t_hidden, v_bias, t_bias, num_heads: int):
+                        v_hidden, t_hidden, v_bias, t_bias, num_heads: int,
+                        mode="auto"):
     """Dispatch both co-attention directions to the fused Pallas kernels
     (ops/pallas_kernels/fused_co_block.py). Returns (v_attn, t_attn) or
     None — falling back to the unfused modules — off TPU, at unsupported
-    shapes, under calibration, or when the denses took mixed quantization
-    paths. Eval only (caller gates on deterministic)."""
+    shapes, under calibration, when the denses took mixed quantization
+    paths, or when ``mode="auto"``'s measured policy refuses (fuse only the
+    int8 path at batch >= 32 — see ViLBERTConfig.fused_co_attn for the
+    numbers). Eval only (caller gates on deterministic)."""
+    if mode == "auto" and v_hidden.shape[0] < 32:
+        return None
     pq1, pk1, pv1 = (d(v_hidden, return_params=True) for d in v_denses)
     pq2, pk2, pv2 = (d(t_hidden, return_params=True) for d in t_denses)
-    ov = out_v(v_hidden, params_only=True, with_ln=True)
-    ot = out_t(t_hidden, params_only=True, with_ln=True)
     probes = (pq1, pk1, pv1, pq2, pk2, pv2)
-    if ov is None or ot is None or any(p is None for p in probes):
+    if any(p is None for p in probes):
+        return None
+    # the output denses map the BI space back to each stream — probe them
+    # with a bi-shaped dummy (param creation keys off the input's last dim;
+    # probing with the stream hidden would create a wrong-shaped kernel
+    # whenever bi != hidden, i.e. at every non-tiny config)
+    bi = probes[0][1].shape[1]
+    ctx_dummy = jnp.zeros((1, 1, bi), v_hidden.dtype)
+    ov = out_v(ctx_dummy, params_only=True, with_ln=True)
+    ot = out_t(ctx_dummy, params_only=True, with_ln=True)
+    if ov is None or ot is None:
         return None
     (pov, lnv_scale, lnv_bias), (pot, lnt_scale, lnt_bias) = ov, ot
     if pov is None or pot is None:
         return None
     tags = {p[0] for p in probes} | {pov[0], pot[0]}
     if len(tags) != 1:
+        return None
+    if mode == "auto" and tags != {"int8"}:
         return None
     bv, st = v_hidden.shape[0], t_hidden.shape[1]
     sv = v_hidden.shape[1]

@@ -85,6 +85,7 @@ class ServingModel:
         if mesh is not None and (
             getattr(model.cfg, "fused_ffn", False)
             or getattr(model.cfg, "fused_attn_block", False)
+            or getattr(model.cfg, "fused_co_attn", False)
         ):
             # tensor-parallel serving shards the layer weights over mp; the
             # fused Pallas kernels expect whole (replicated) weight operands,
@@ -97,7 +98,8 @@ class ServingModel:
             )
 
             model = ViLBERTForClassification(dataclasses.replace(
-                model.cfg, fused_ffn=False, fused_attn_block=False))
+                model.cfg, fused_ffn=False, fused_attn_block=False,
+                fused_co_attn=False))
         self._model = model
         if int8:
             from multimodal_classification_tpu.ops.quant import build_quant_tree

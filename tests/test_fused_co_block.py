@@ -123,10 +123,14 @@ class TestModelWiring:
             dummy_batch,
         )
 
+        # ASYMMETRIC streams (v_hidden != hidden != bi) like the real FB
+        # config — the probe path creates the output denses' params from the
+        # probe input's last dim, and a symmetric config can't catch a probe
+        # fed the wrong stream (that bug shipped once; see _try_fused_co_block)
         cfg = tiny_vilbert_config(
             dtype="float32", use_pallas_attention=False,
-            hidden_size=128, v_hidden_size=128, bi_hidden_size=128,
-            intermediate_size=256, v_intermediate_size=256,
+            hidden_size=128, v_hidden_size=256, bi_hidden_size=128,
+            intermediate_size=256, v_intermediate_size=512,
             num_attention_heads=2, v_num_attention_heads=2,
             bi_num_attention_heads=2,
         )
@@ -160,6 +164,42 @@ class TestModelWiring:
                         rngs={"dropout": jax.random.key(9)})["logits"]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+    def test_auto_policy(self, model_pair, rng, monkeypatch):
+        """Default "auto" fuses ONLY the int8 path at batch >= 32 (the
+        measured win); float and small batches fall back."""
+        import dataclasses
+
+        import multimodal_classification_tpu.ops.pallas_kernels as pk
+        from multimodal_classification_tpu.models.vilbert import (
+            ViLBERTForClassification,
+            dummy_batch,
+        )
+        from multimodal_classification_tpu.ops.quant import build_quant_tree
+
+        base, fused, params, batch = model_pair
+        cfg = dataclasses.replace(base.cfg, fused_co_attn="auto")
+        auto = ViLBERTForClassification(cfg)
+        calls = []
+        for name in ("maybe_fused_co_dir", "maybe_fused_co_dir_int8"):
+            orig = getattr(pk, name)
+            monkeypatch.setattr(
+                pk, name,
+                lambda *a, _o=orig, _n=name, **k: calls.append(_n) or _o(*a, **k))
+        quant = build_quant_tree(params, min_dim=64)
+
+        # small batch (3): auto refuses before probing, int8 or not
+        auto.apply({"params": params, "quant": quant}, **batch,
+                   deterministic=True)
+        assert not calls
+        big = dummy_batch(cfg, 32, 8, 8)
+        # batch 32 float: auto still refuses (bf16 measured slower fused)
+        auto.apply({"params": params}, **big, deterministic=True)
+        assert not calls
+        # batch 32 int8: the measured-win arm — kernels dispatch
+        auto.apply({"params": params, "quant": quant}, **big,
+                   deterministic=True)
+        assert calls and set(calls) == {"maybe_fused_co_dir_int8"}
 
     def test_int8_quant_composes(self, model_pair):
         from multimodal_classification_tpu.ops.quant import build_quant_tree
