@@ -132,6 +132,14 @@ class ViLBERTConfig:
     #   True — always fuse where shapes allow (A/B escape hatch).
     #   False — never.
     fused_co_attn: "bool | str" = "auto"
+    # Pad the visual stream ONCE to the 16-row sublane tile (100 regions →
+    # 112) for the whole eval encoder instead of per fused-kernel call —
+    # removes the ~0.5 ms/step of pad/reshape/slice glue the batch-64
+    # XPlane profile showed around the Pallas calls. Padded rows carry
+    # NEG_INF key bias (identical masked-attention function, parity-tested)
+    # and are sliced off after the encoder. Inert off-TPU, in training, and
+    # when no per-item-padding kernel is enabled.
+    visual_stream_padding: bool = True
     # Rematerialise encoder layers to trade FLOPs for HBM
     remat: bool = False
     # Scan-over-layers: run the encoder as ONE nn.scan over its regular

@@ -38,6 +38,7 @@ from multimodal_classification_tpu.models.layers import (
     make_dense,
 )
 from multimodal_classification_tpu.ops.attention import (
+    NEG_INF,
     bi_attention_core,
     mask_to_bias,
     merge_heads,
@@ -426,9 +427,43 @@ class ViLBERTModel(nn.Module):
         t_bias = mask_to_bias(attention_mask)
         v_bias = mask_to_bias(visual_attention_mask)
 
+        # Pad the visual stream ONCE to the sublane tile for the whole
+        # encoder instead of letting every fused kernel pad 100 -> 112 and
+        # slice back per call: the batch-64 XPlane profile showed ~0.5 ms/
+        # step (5%) of pad/reshape/slice glue around the Pallas calls.
+        # Padded rows ride a NEG_INF key bias, so no real row attends to
+        # them (identical masked-attention function); their own outputs are
+        # garbage and are sliced off after the encoder. Eval-only, TPU-only,
+        # and only when a per-item-padding kernel is active.
+        nr = v_hidden.shape[1]
+        padded = False
+        if (cfg.visual_stream_padding and deterministic
+                and bool(cfg.fused_attn_block or cfg.fused_co_attn)):
+            from multimodal_classification_tpu.ops.pallas_kernels import (
+                on_tpu,
+            )
+
+            tile = -(-nr // 16) * 16
+            if tile != nr and on_tpu():
+                pad = tile - nr
+                padded = True
+                v_hidden = jnp.pad(v_hidden, ((0, 0), (0, pad), (0, 0)))
+                if v_bias is None:
+                    b = v_hidden.shape[0]
+                    v_bias = jnp.concatenate(
+                        [jnp.zeros((b, 1, 1, nr), jnp.float32),
+                         jnp.full((b, 1, 1, pad), NEG_INF, jnp.float32)],
+                        axis=-1)
+                else:
+                    v_bias = jnp.pad(
+                        v_bias, ((0, 0), (0, 0), (0, 0), (0, pad)),
+                        constant_values=NEG_INF)
+
         t_hidden, v_hidden = ViLBERTEncoder(cfg, dtype, name="encoder")(
             t_hidden, v_hidden, t_bias, v_bias, deterministic
         )
+        if padded:
+            v_hidden = v_hidden[:, :nr]
 
         t_pooled = Pooler(cfg.bi_hidden_size, dtype, name="t_pooler")(t_hidden[:, 0])
         if cfg.pooling == "cls_mean":

@@ -54,6 +54,10 @@ def main() -> int:
     # FFN denses, which refuse the fused kernel per-layer.
     import dataclasses as _dc
 
+    if os.environ.get("SERVING_NO_PAD"):
+        # A/B hook: disable the encoder-level visual-stream padding
+        cfg = _dc.replace(cfg, visual_stream_padding=False)
+
     # baselines pin BOTH fusion flags off/on explicitly so the A/B stays
     # honest whatever the config defaults are
     model = ViLBERTForClassification(

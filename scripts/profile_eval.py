@@ -7,7 +7,7 @@ answer why eval MFU sits where it does (at batch 64 the bf16 forward measured
 ~41 ms ≈ 25% MFU — 30 ms is not matmul).
 
 Usage: JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache \
-         python scripts/profile_eval.py [batch] [bf16|int8]
+         python scripts/profile_eval.py [batch] [bf16|int8] [seq]
 Output: tables on stderr + ONE JSON line on stdout.
 """
 
@@ -29,7 +29,8 @@ from profile_step import parse_xplane  # noqa: E402  (same scripts/ dir)
 def main() -> int:
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     path = sys.argv[2] if len(sys.argv) > 2 else "bf16"
-    trace_dir = f"/tmp/jax-trace-eval-{path}-{bs}"
+    seq = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    trace_dir = f"/tmp/jax-trace-eval-{path}-{bs}-{seq}"
 
     import jax
     import jax.numpy as jnp
@@ -49,7 +50,7 @@ def main() -> int:
 
     cfg = facebook_vilbert_config()
     model = ViLBERTForClassification(cfg)
-    batch = dummy_batch(cfg, bs, 128, 100)
+    batch = dummy_batch(cfg, bs, seq, 100)
     rng = np.random.default_rng(0)
     batch["visual_features"] = jnp.asarray(
         rng.standard_normal(batch["visual_features"].shape), jnp.bfloat16
@@ -97,7 +98,7 @@ def main() -> int:
         print(f"{ms / k:9.3f} ms/step  {name[:110]}", file=sys.stderr)
 
     print(json.dumps({
-        "path": path, "batch_size": bs,
+        "path": path, "batch_size": bs, "seq": seq,
         "wall_ms_per_step": round(wall_ms, 2),
         "device_ms_per_step": round(total / k, 2),
         "by_opcode_ms_per_step": {o: round(v / k, 3)

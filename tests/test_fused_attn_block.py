@@ -109,6 +109,43 @@ class TestKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_visual_stream_padding_parity(self, rng):
+        """config.visual_stream_padding pads the visual stream ONCE (10
+        regions -> 16 here, like 100 -> 112 at the flagship) for the whole
+        encoder; logits must match the unpadded unfused model exactly."""
+        import dataclasses
+
+        from multimodal_classification_tpu.config import tiny_vilbert_config
+        from multimodal_classification_tpu.models.vilbert import (
+            ViLBERTForClassification,
+            dummy_batch,
+        )
+
+        cfg = tiny_vilbert_config(
+            dtype="float32", use_pallas_attention=False,
+            hidden_size=128, v_hidden_size=256, bi_hidden_size=128,
+            intermediate_size=256, v_intermediate_size=512,
+            num_attention_heads=2, v_num_attention_heads=2,
+            bi_num_attention_heads=2,
+        )
+        base = ViLBERTForClassification(dataclasses.replace(
+            cfg, fused_attn_block=False, fused_ffn=False,
+            visual_stream_padding=False))
+        padded = ViLBERTForClassification(dataclasses.replace(
+            cfg, fused_attn_block=True, visual_stream_padding=True))
+        batch = dummy_batch(cfg, 3, 8, 10)  # 10 regions: off the 16-row tile
+        batch["visual_features"] = jnp.asarray(
+            rng.standard_normal(batch["visual_features"].shape), jnp.float32)
+        batch["visual_attention_mask"] = jnp.asarray(
+            np.concatenate([np.ones((3, 9)), np.zeros((3, 1))], 1), jnp.float32)
+        params = base.init(jax.random.key(0), **batch)["params"]
+        a = base.apply({"params": params}, **batch, deterministic=True)["logits"]
+        out = padded.apply({"params": params}, **batch, deterministic=True)
+        b_ = out["logits"]
+        assert out["visual_output"].shape[1] == 10  # sliced back
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_int8_matches_int8_reference(self, rng):
         b, s, h, heads = 4, 8, 128, 2
         x, key_bias, ws, bs, gamma, beta = _mk(rng, b, s, h)
