@@ -352,7 +352,15 @@ def _run_stage(stage: str) -> int:
 def _spawn(stage: str, timeout: float, deadline: float):
     """Run a measurement stage in a child (so a hung remote compile can be
     killed and the budget falls through to the next stage). Returns the last
-    JSON line the child printed, or None."""
+    JSON line the child printed, or None.
+
+    Adaptive budget: the ``timeout`` passed in reserves time for the
+    fallback stage — but that reserve only matters while NO train number
+    exists yet. The moment the child prints its first JSON line the train
+    metric is banked and a fallback run would be pointless, so the kill
+    deadline extends to the full bench budget (``deadline``), giving the
+    best-effort serving extras the reserve instead of wasting it (on slow
+    relay days the extras' executable loads can take minutes each)."""
     import subprocess
 
     env = dict(os.environ)
@@ -360,27 +368,50 @@ def _spawn(stage: str, timeout: float, deadline: float):
     env["BENCH_DEADLINE"] = str(deadline)
     print(f"bench: stage={stage} timeout={timeout:.0f}s", file=sys.stderr,
           flush=True)
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--stage", stage],
-            env=env, cwd=_HERE, timeout=max(timeout, 1),
-            stdout=subprocess.PIPE, stderr=None, text=True,
-        )
-        out = proc.stdout or ""
-    except subprocess.TimeoutExpired as e:
-        out = e.stdout or b""
-        if isinstance(out, bytes):
-            out = out.decode(errors="replace")
-        print(f"bench: stage={stage} timed out after {timeout:.0f}s",
-              file=sys.stderr, flush=True)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--stage", stage],
+        env=env, cwd=_HERE, stdout=subprocess.PIPE, stderr=None, text=True,
+        bufsize=1,
+    )
     last = None
-    for line in out.splitlines():
-        line = line.strip()
-        if line.startswith("{") and line.endswith("}"):
-            try:
-                last = json.loads(line)
-            except json.JSONDecodeError:
-                pass
+    kill_at = time.monotonic() + max(timeout, 1)
+    import selectors
+
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    buf = ""
+    while True:
+        if proc.poll() is not None and not sel.select(0):
+            break
+        wait = kill_at - time.monotonic()
+        if wait <= 0:
+            proc.kill()
+            proc.wait()
+            print(f"bench: stage={stage} timed out", file=sys.stderr,
+                  flush=True)
+            break
+        if not sel.select(min(wait, 1.0)):
+            continue
+        chunk = proc.stdout.readline()
+        if chunk == "" and proc.poll() is not None:
+            break
+        buf += chunk
+        while "\n" in buf:
+            line, buf = buf.split("\n", 1)
+            line = line.strip()
+            if line.startswith("{") and line.endswith("}"):
+                try:
+                    last = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                # train number banked → the fallback reserve is moot;
+                # let the extras use the whole remaining budget
+                if kill_at < deadline - 2:
+                    print("bench: train metric banked — extending stage "
+                          "deadline to the full budget for extras",
+                          file=sys.stderr, flush=True)
+                kill_at = deadline - 2
+    sel.close()
     return last
 
 
