@@ -90,6 +90,10 @@ def main(argv=None) -> int:
                          help="compiled micro-batch size")
     serve_p.add_argument("--linger-ms", type=float, default=5.0,
                          help="micro-batch aggregation window")
+    serve_p.add_argument("--request-timeout", type=float, default=30.0,
+                         help="per-request deadline (s): must exceed the "
+                              "worst-case queue wait or timed-out retries "
+                              "pile onto the backlog")
     serve_p.add_argument("--int8", action="store_true",
                          help="int8 MXU serving path (throughput configs)")
     serve_p.add_argument(
@@ -286,7 +290,8 @@ def main(argv=None) -> int:
                 serving.calibrate(*calib)
         serving.warmup()
         server = InferenceServer(serving, args.host, args.port,
-                                 linger_ms=args.linger_ms)
+                                 linger_ms=args.linger_ms,
+                                 request_timeout_s=args.request_timeout)
         server.serve_forever()
         return 0
 

@@ -130,8 +130,10 @@ def export_artifact(
 
     spec = lambda t: jax.tree.map(  # noqa: E731
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
-    # ServingModel feeds float32 features (it builds the batch with np.float32)
-    feature_dtype = jnp.float32
+    # ServingModel rounds visual features to the model compute dtype on the
+    # HOST (its wire dtype — identical numerics, half the link bytes for
+    # bf16 models); the exported program's input signature must match.
+    feature_dtype = np.dtype(getattr(model.cfg, "dtype", "float32"))
 
     kw = {"platforms": tuple(platforms)} if platforms else {}
     programs = {}
@@ -178,6 +180,7 @@ def export_artifact(
         "programs": programs,
         "vocab": vocab_file,
         "lowercase": bool(lowercase),
+        "wire_dtype": feature_dtype.name,
         "params_sha256": digest.hexdigest(),
     }
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
@@ -230,6 +233,7 @@ class ExportedServingModel(ServingModel):
         self.num_regions = int(man["num_regions"])
         self.feature_dim = int(man["feature_dim"])
         self.batch_size = int(man["batch_size"])
+        self._wire_dtype = np.dtype(man.get("wire_dtype", "float32"))
         with np.load(os.path.join(artifact_dir, "params.npz")) as z:
             flat = dict(z)
         if verify and man.get("params_sha256"):

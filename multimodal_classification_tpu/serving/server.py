@@ -82,6 +82,14 @@ class ServingModel:
         self.feature_dim = feature_dim
         self.batch_size = batch_size
         self.params = params
+        # Wire dtype for the dense visual-feature tensor (the dominant
+        # host→device bytes: batch·regions·feature_dim). The model's
+        # VisualEmbeddings casts features to the compute dtype as its first
+        # op, so rounding on the HOST is numerically identical and halves
+        # the per-dispatch transfer when the model runs bf16 (52 → 26 MB at
+        # batch 64 — on a slow host link this is the serving bottleneck,
+        # not the device step). f32-compute models keep an f32 wire.
+        self._wire_dtype = np.dtype(getattr(model.cfg, "dtype", "float32"))
         if mesh is not None and (
             getattr(model.cfg, "fused_ffn", False)
             or getattr(model.cfg, "fused_attn_block", False)
@@ -232,7 +240,7 @@ class ServingModel:
             "input_ids": pad(ids_),
             "attention_mask": pad(mask_),
             "token_type_ids": pad(type_),
-            "visual_features": pad(feats),
+            "visual_features": pad(feats).astype(self._wire_dtype),
             "visual_attention_mask": pad(vmask),
             "spatial_locations": pad(spatial),
         }
@@ -344,9 +352,15 @@ class InferenceServer:
     GET /healthz → stats."""
 
     def __init__(self, serving: ServingModel, host: str = "127.0.0.1",
-                 port: int = 8000, linger_ms: float = 5.0):
+                 port: int = 8000, linger_ms: float = 5.0,
+                 request_timeout_s: float = 30.0):
         self.batcher = _MicroBatcher(serving, linger_ms)
         batcher = self.batcher
+        # per-request future deadline: must exceed the worst-case queue wait
+        # (compiled-batch dispatch time × queued batches) or timed-out
+        # clients retry into an already-backlogged queue and the server
+        # never catches up
+        timeout_s = float(request_timeout_s)
 
         class Handler(BaseHTTPRequestHandler):
             # keep-alive: clients reuse connections instead of paying a TCP
@@ -395,11 +409,13 @@ class InferenceServer:
                     return self._send(400, {"error": "bad json"})
                 try:
                     if self.path == "/predict":
-                        return self._send(200, batcher.submit(payload).result(30))
+                        return self._send(
+                            200, batcher.submit(payload).result(timeout_s))
                     if self.path == "/predict_batch":
                         futs = [batcher.submit(i)
                                 for i in payload.get("instances", [])]
-                        return self._send(200, [f.result(30) for f in futs])
+                        return self._send(
+                            200, [f.result(timeout_s) for f in futs])
                 except Exception as e:
                     return self._send(500, {"error": str(e)})
                 self._send(404, {"error": "not found"})

@@ -310,3 +310,34 @@ def test_metrics_endpoint_prometheus_format(serving):
         assert "mmc_serving_latency_ms_p50" in lines
     finally:
         server.stop()
+
+
+def test_wire_dtype_follows_model_compute_dtype(serving):
+    """The visual-feature wire dtype is the model's compute dtype: a bf16
+    model ships bf16 features (half the host->device bytes -- the dominant
+    per-dispatch cost on a slow link) with IDENTICAL predictions, because
+    VisualEmbeddings' first op is that exact cast; an f32 model keeps an
+    f32 wire."""
+    cfg, model, params, store, tok, sm = serving
+    # the module fixture is float32 -> f32 wire
+    batch = sm._build_batch(["a meme"], [{"id": "42"}])
+    assert np.dtype(batch["visual_features"].dtype) == np.float32
+
+    import dataclasses
+
+    bcfg = dataclasses.replace(cfg, dtype="bfloat16")
+    bmodel = ViLBERTForClassification(bcfg)
+    b = dummy_batch(bcfg, 1, 12, 6)
+    bparams = bmodel.init(jax.random.key(0), **model_inputs(b))["params"]
+    bsm = ServingModel(bmodel, bparams, tok, store, max_seq_length=12,
+                       num_regions=6, feature_dim=32, batch_size=4)
+    assert bsm._wire_dtype == np.dtype("bfloat16")
+    texts = ["this is a hateful meme", "love"]
+    insts = [{"id": "42"}, {"id": "missing"}]
+    got = bsm.predict(texts, insts)
+    # f32-wire twin: same params/model, wire cast disabled
+    bsm_f32 = ServingModel(bmodel, bparams, tok, store, max_seq_length=12,
+                           num_regions=6, feature_dim=32, batch_size=4)
+    bsm_f32._wire_dtype = np.dtype(np.float32)
+    ref = bsm_f32.predict(texts, insts)
+    np.testing.assert_array_equal(got, ref)
