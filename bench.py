@@ -372,13 +372,26 @@ def _spawn(stage: str, timeout: float, deadline: float):
     env["BENCH_DEADLINE"] = str(deadline)
     print(f"bench: stage={stage} timeout={timeout:.0f}s", file=sys.stderr,
           flush=True)
+    # stderr merges into the pipe: the child's progress lines (ingest/upload/
+    # compile prints) are the stall detector's heartbeat; non-JSON lines are
+    # passed through to our stderr so the driver log keeps them
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--stage", stage],
-        env=env, cwd=_HERE, stdout=subprocess.PIPE, stderr=None, text=True,
-        bufsize=1,
+        env=env, cwd=_HERE, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, bufsize=1,
     )
     last = None
     kill_at = time.monotonic() + max(timeout, 1)
+    # Relay stalls are the dominant failure mode now that the compile cache
+    # is committed (measured: a single executable load can hang ~4 min while
+    # the same program loads in seconds on retry). A child that prints
+    # NOTHING NEW for BENCH_STALL seconds is stalled — kill it early and
+    # leave the remaining budget to the caller's retry loop instead of
+    # burning the whole stage timeout. 240 s covers the slowest warm-cache
+    # phase observed (93 s compile+warmup) with 2.5× margin; a truly cold
+    # compile can exceed it, which is what the stacked fallback is for.
+    stall_s = float(os.environ.get("BENCH_STALL", "240"))
+    last_out = time.monotonic()
     import selectors
 
     sel = selectors.DefaultSelector()
@@ -387,34 +400,41 @@ def _spawn(stage: str, timeout: float, deadline: float):
     while True:
         if proc.poll() is not None and not sel.select(0):
             break
-        wait = kill_at - time.monotonic()
+        now = time.monotonic()
+        wait = min(kill_at, last_out + stall_s) - now
         if wait <= 0:
             proc.kill()
             proc.wait()
-            print(f"bench: stage={stage} timed out", file=sys.stderr,
-                  flush=True)
+            why = "stalled" if now < kill_at else "timed out"
+            print(f"bench: stage={stage} {why} "
+                  f"({now - last_out:.0f}s since last output)",
+                  file=sys.stderr, flush=True)
             break
         if not sel.select(min(wait, 1.0)):
             continue
         chunk = proc.stdout.readline()
         if chunk == "" and proc.poll() is not None:
             break
+        last_out = time.monotonic()
         buf += chunk
         while "\n" in buf:
             line, buf = buf.split("\n", 1)
             line = line.strip()
-            if line.startswith("{") and line.endswith("}"):
-                try:
-                    last = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                # train number banked → the fallback reserve is moot;
-                # let the extras use the whole remaining budget
-                if kill_at < deadline - 2:
-                    print("bench: train metric banked — extending stage "
-                          "deadline to the full budget for extras",
-                          file=sys.stderr, flush=True)
-                kill_at = deadline - 2
+            if not (line.startswith("{") and line.endswith("}")):
+                if line:
+                    print(line, file=sys.stderr, flush=True)
+                continue
+            try:
+                last = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            # train number banked → the fallback reserve is moot;
+            # let the extras use the whole remaining budget
+            if kill_at < deadline - 2:
+                print("bench: train metric banked — extending stage "
+                      "deadline to the full budget for extras",
+                      file=sys.stderr, flush=True)
+            kill_at = deadline - 2
     sel.close()
     return last
 
@@ -430,11 +450,22 @@ def main() -> int:
     # compile (cached: seconds; cold: the stacked program is ~6× less HLO)
     reserve = float(os.environ.get("BENCH_FALLBACK_RESERVE", "170"))
 
-    result = _spawn("headline", timeout=deadline - time.monotonic() - reserve,
-                    deadline=deadline)
-    if result is None:
-        result = _spawn("fallback", timeout=deadline - time.monotonic() - 5,
-                        deadline=deadline)
+    # Retry loop: relay stalls are transient (the same warm program that
+    # hangs ~4 min loads in seconds on the next attempt), so when a stage
+    # dies — stall-killed early by _spawn or genuinely timed out — cycle
+    # back through the stages with whatever budget remains instead of
+    # giving up after one headline + one fallback pass.
+    result = None
+    for i, stage in enumerate(("headline", "fallback") * 3):
+        remaining = deadline - time.monotonic()
+        if remaining < 60:
+            break
+        timeout = remaining - (reserve if i == 0 else 5)
+        if timeout < 45:
+            continue
+        result = _spawn(stage, timeout=timeout, deadline=deadline)
+        if result is not None:
+            break
     if result is None:
         print("bench: all stages failed within budget", file=sys.stderr,
               flush=True)

@@ -132,6 +132,22 @@ class ViLBERTConfig:
     #   True — always fuse where shapes allow (A/B escape hatch).
     #   False — never.
     fused_co_attn: "bool | str" = "auto"
+    # Fuse each WHOLE int8 text layer (attention block + FFN + residual LN —
+    # six int8 weight matrices VMEM-resident) into ONE Pallas kernel at EVAL
+    # time (ops/pallas_kernels/fused_layer.py). Motivated by the batch-112
+    # record-config profile: the 12 text layers ran at ~50% of their int8
+    # roofline across 24 small kernel calls while the visual FFN kernel hit
+    # ~100% — one call per layer halves dispatch count and keeps the
+    # attention output in VMEM. int8-only (the bf16 weight set is 14.2 MB,
+    # over the VMEM budget) and text-only (visual 1024/4096 refused by the
+    # budget); anything unsupported falls back to the two-kernel path
+    # per-layer. Default ON: same-run v5e A/B vs the two-kernel path (int8,
+    # seq-32 bucket) — 6248 vs 6062/s @112 (+3%, the serving record),
+    # 5779 vs 5715 @64, 3611 vs 2435 @16 (+48%: small-row calls suffer the
+    # most per-call overhead). Batch 1 measured SLOWER (12.7 vs 9.3 ms) —
+    # single-item latency deployments use bf16 anyway (see
+    # docs/PERFORMANCE.md int8 policy).
+    fused_text_layer: bool = True
     # Pad the visual stream ONCE to the 16-row sublane tile (100 regions →
     # 112) for the whole eval encoder instead of per fused-kernel call —
     # removes the ~0.5 ms/step of pad/reshape/slice glue the batch-64

@@ -275,6 +275,7 @@ class TransformerLayer(nn.Module):
     attention_impl: str = "auto"
     fused_ffn: bool = False
     fused_block: bool = False
+    fused_layer: bool = False
 
     @nn.compact
     def __call__(self, hidden, bias, deterministic: bool):
@@ -289,6 +290,15 @@ class TransformerLayer(nn.Module):
         out_mod = ResidualOutput(
             self.hidden_size, self.hidden_dropout, self.dtype, name="attention_output"
         )
+        inter_mod = Intermediate(self.intermediate_size, self.dtype, name="intermediate")
+        ffn_out_mod = ResidualOutput(
+            self.hidden_size, self.hidden_dropout, self.dtype, name="output"
+        )
+        if self.fused_layer and deterministic:
+            y = _try_fused_layer(attn, out_mod, inter_mod, ffn_out_mod,
+                                 hidden, bias, self.num_heads)
+            if y is not None:
+                return y
         attn_out = None
         if self.fused_block and deterministic:
             attn_out = _try_fused_attn_block(
@@ -297,10 +307,57 @@ class TransformerLayer(nn.Module):
             attn_ctx = attn(hidden, bias, deterministic)
             attn_out = out_mod(attn_ctx, hidden, deterministic)
         return apply_ffn(
-            Intermediate(self.intermediate_size, self.dtype, name="intermediate"),
-            ResidualOutput(self.hidden_size, self.hidden_dropout, self.dtype, name="output"),
-            attn_out, deterministic, self.fused_ffn,
+            inter_mod, ffn_out_mod, attn_out, deterministic, self.fused_ffn,
         )
+
+
+def _try_fused_layer(attn_mod: "SelfAttention", out_mod: "ResidualOutput",
+                     inter_mod: "Intermediate", ffn_out_mod: "ResidualOutput",
+                     hidden, bias, num_heads: int):
+    """Dispatch a WHOLE int8 transformer layer (attention block + FFN +
+    residual LN) to one Pallas kernel (ops/pallas_kernels/fused_layer.py).
+    Returns None — falling back to the attn-block + FFN two-kernel path —
+    off TPU, at unsupported shapes (the visual 1024/4096 stream exceeds the
+    VMEM budget), on the float path (its six bf16 weight matrices do not
+    fit VMEM), under calibration, or for static-calibrated int8 layers.
+    Eval only (caller gates on deterministic)."""
+    probes = attn_mod(hidden, None, True, params_only=True)
+    out_probe = out_mod(hidden, params_only=True, with_ln=True)
+    if out_probe is None or any(p is None for p in probes):
+        return None
+    (pq, pk, pv), (po, ln1_s, ln1_b) = probes, out_probe
+    if po is None:
+        return None
+    p1 = inter_mod(hidden, params_only=True)
+    if p1 is None:
+        return None
+    # probe input sized by the intermediate width — the output dense's
+    # kernel param takes its in-features from the probe's last dim
+    p2_probe = ffn_out_mod(jnp.zeros((1, p1[1].shape[1]), hidden.dtype),
+                           params_only=True, with_ln=True)
+    if p2_probe is None:
+        return None
+    p2, ln2_s, ln2_b = p2_probe
+    if p2 is None:
+        return None
+    if {pq[0], pk[0], pv[0], po[0], p1[0], p2[0]} != {"int8"}:
+        return None
+    b, s, _ = hidden.shape
+    key_bias = (
+        bias.reshape(b, s).astype(jnp.float32)
+        if bias is not None else jnp.zeros((b, s), jnp.float32)
+    )
+    from multimodal_classification_tpu.ops.pallas_kernels import (
+        maybe_fused_layer_int8,
+    )
+
+    thunk = maybe_fused_layer_int8(
+        hidden, key_bias,
+        pq[1], pq[2], pq[3], pk[1], pk[2], pk[3], pv[1], pv[2], pv[3],
+        po[1], po[2], po[3], ln1_s, ln1_b,
+        p1[1], p1[2], p1[3], p2[1], p2[2], p2[3], ln2_s, ln2_b, num_heads,
+    )
+    return thunk() if thunk is not None else None
 
 
 def _try_fused_attn_block(attn_mod: "SelfAttention", out_mod: "ResidualOutput",

@@ -309,12 +309,14 @@ class SuperLayer(nn.Module):
         fused = cfg.fused_ffn and det
 
         fused_block = cfg.fused_attn_block and det
+        fused_layer = cfg.fused_text_layer and det
 
         def text_layer(name: str) -> TransformerLayer:
             return TransformerLayer(
                 cfg.hidden_size, cfg.num_attention_heads, cfg.intermediate_size,
                 cfg.hidden_dropout_prob, cfg.attention_probs_dropout_prob,
-                self.dtype, self.impl, fused, fused_block, name=name,
+                self.dtype, self.impl, fused, fused_block, fused_layer,
+                name=name,
             )
 
         t_hidden = text_layer("t_a")(t_hidden, t_bias, det)
@@ -322,7 +324,7 @@ class SuperLayer(nn.Module):
         v_hidden = TransformerLayer(
             cfg.v_hidden_size, cfg.v_num_attention_heads, cfg.v_intermediate_size,
             cfg.v_hidden_dropout_prob, cfg.v_attention_probs_dropout_prob,
-            self.dtype, self.impl, fused, fused_block, name="v",
+            self.dtype, self.impl, fused, fused_block, fused_layer, name="v",
         )(v_hidden, v_bias, det)
         co_block = BiAttentionBlock if cfg.pooling == "cls" else ConnectionBlock
         v_hidden, t_hidden = co_block(cfg, self.dtype, name="c")(
@@ -373,20 +375,21 @@ class ViLBERTEncoder(nn.Module):
             visual_layer = nn.remat(visual_layer, static_argnums=(3,))
 
         fused_block = cfg.fused_attn_block and deterministic
+        fused_layer = cfg.fused_text_layer and deterministic
         v_idx = 0
         for t_idx in range(cfg.num_hidden_layers):
             t_hidden = text_layer(
                 cfg.hidden_size, cfg.num_attention_heads, cfg.intermediate_size,
                 cfg.hidden_dropout_prob, cfg.attention_probs_dropout_prob,
                 self.dtype, impl, cfg.fused_ffn and deterministic, fused_block,
-                name=f"layer_{t_idx}",
+                fused_layer, name=f"layer_{t_idx}",
             )(t_hidden, t_bias, deterministic)
             if t_idx in co_sites and v_idx < cfg.v_num_hidden_layers:
                 v_hidden = visual_layer(
                     cfg.v_hidden_size, cfg.v_num_attention_heads, cfg.v_intermediate_size,
                     cfg.v_hidden_dropout_prob, cfg.v_attention_probs_dropout_prob,
                     self.dtype, impl, cfg.fused_ffn and deterministic, fused_block,
-                    name=f"v_layer_{v_idx}",
+                    fused_layer, name=f"v_layer_{v_idx}",
                 )(v_hidden, v_bias, deterministic)
                 v_hidden, t_hidden = co_block(cfg, self.dtype, name=f"c_layer_{v_idx}")(
                     v_hidden, t_hidden, v_bias, t_bias, deterministic

@@ -215,3 +215,30 @@ def maybe_fused_co_dir_int8(
         xq3, xkv3, key_bias, qq, sq_, bq, qk, sk_, bk, qv, sv_, bv,
         qo, so_, bo, gamma, beta, num_heads
     )
+
+
+def maybe_fused_layer_int8(
+    x3, key_bias, qq, sq, bq, qk, sk, bk, qv, sv, bv, qo, so, bo,
+    g1, b1, q1, s1, bf1, q2, s2, bf2, g2, b2, num_heads: int
+) -> Optional[Callable[[], jnp.ndarray]]:
+    """Whole int8 transformer LAYER (attention block + FFN + residual LN)
+    in ONE VMEM-resident Pallas pass, or None for the two-kernel path.
+    Text layers only (the six int8 weight matrices of the 768/3072 shape
+    fit VMEM; the visual 1024/4096 shape is refused by the budget). Eval
+    only (caller gates on deterministic); int8-only (the bf16 weight set
+    does not fit VMEM — the float path keeps attn-block + FFN kernels)."""
+    if not on_tpu():
+        return None
+    from multimodal_classification_tpu.ops.pallas_kernels import (
+        fused_layer as fl_k,
+    )
+
+    b, s, hd = x3.shape
+    if qq.shape != (hd, hd) or q1.shape[0] != hd or q2.shape[1] != hd:
+        return None
+    if not fl_k.supported_layer(b, s, hd, q1.shape[1], num_heads, x3.dtype):
+        return None
+    return lambda: fl_k.fused_layer_int8(
+        x3, key_bias, qq, sq, bq, qk, sk, bk, qv, sv, bv, qo, so, bo,
+        g1, b1, q1, s1, bf1, q2, s2, bf2, g2, b2, num_heads
+    )

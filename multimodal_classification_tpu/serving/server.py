@@ -94,6 +94,7 @@ class ServingModel:
             getattr(model.cfg, "fused_ffn", False)
             or getattr(model.cfg, "fused_attn_block", False)
             or getattr(model.cfg, "fused_co_attn", False)
+            or getattr(model.cfg, "fused_text_layer", False)
         ):
             # tensor-parallel serving shards the layer weights over mp; the
             # fused Pallas kernels expect whole (replicated) weight operands,
@@ -107,7 +108,7 @@ class ServingModel:
 
             model = ViLBERTForClassification(dataclasses.replace(
                 model.cfg, fused_ffn=False, fused_attn_block=False,
-                fused_co_attn=False))
+                fused_co_attn=False, fused_text_layer=False))
         self._model = model
         if int8:
             from multimodal_classification_tpu.ops.quant import build_quant_tree

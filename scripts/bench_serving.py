@@ -74,6 +74,11 @@ def main() -> int:
     model_coa = ViLBERTForClassification(
         _dc.replace(cfg, fused_ffn=True, fused_attn_block=True,
                     fused_co_attn=True))
+    # "lyr8": + whole-text-layer fusion on top of coa8 (one Pallas kernel
+    # per int8 text layer — attention block + FFN + residual LN)
+    model_lyr = ViLBERTForClassification(
+        _dc.replace(cfg, fused_ffn=True, fused_attn_block=True,
+                    fused_co_attn=True, fused_text_layer=True))
     from multimodal_classification_tpu.utils.xla_options import (
         compiler_options_from_env,
     )
@@ -89,6 +94,7 @@ def main() -> int:
     quant_blk_step = jax.jit(make_quant_eval_step(model_blk), compiler_options=copts)
     coa_step = jax.jit(make_eval_step(model_coa), compiler_options=copts)
     quant_coa_step = jax.jit(make_quant_eval_step(model_coa), compiler_options=copts)
+    quant_lyr_step = jax.jit(make_quant_eval_step(model_lyr), compiler_options=copts)
 
     batches = tuple(
         int(b) for b in os.environ.get("SERVING_BATCHES", "1,16,64").split(",")
@@ -127,6 +133,7 @@ def main() -> int:
             "blk8": lambda b: quant_blk_step(params, quant, model_inputs(b)),
             "coa": lambda b: coa_step(params, model_inputs(b)),
             "coa8": lambda b: quant_coa_step(params, quant, model_inputs(b)),
+            "lyr8": lambda b: quant_lyr_step(params, quant, model_inputs(b)),
         }
         for name, step in ((p, steps[p]) for p in paths):
             for _ in range(3):
