@@ -17,12 +17,24 @@ from typing import List, Optional, Tuple
 
 Check = Tuple[str, str, str]  # (name, status: ok|warn|fail, detail)
 
+# Two-phase probe: device enumeration, THEN a trivial compute with a value
+# fetch. The phases fail independently in the field (measured on this relay):
+# a downed relay hangs ``jax.devices()``, while a *stalled* relay answers the
+# device list in milliseconds and then hangs the first executable load for
+# minutes — a devices-only probe reports "ok" for a backend that cannot run a
+# single op. Each phase prints its own JSON line so the parent can tell which
+# one never arrived.
 _PROBE = (
-    "import jax\n"
+    "import jax, json, time\n"
     "d = jax.devices()\n"
-    "import json\n"
     "print(json.dumps({'platform': d[0].platform, 'kind': d[0].device_kind,"
-    " 'n': len(d)}))\n"
+    " 'n': len(d)}), flush=True)\n"
+    "import jax.numpy as jnp\n"
+    "t0 = time.perf_counter()\n"
+    "x = jnp.ones((8, 128))\n"
+    "v = float((x @ x.T).sum())\n"  # value fetch: block_until_ready can lie
+    "print(json.dumps({'op_ms': round((time.perf_counter() - t0) * 1e3, 1),"
+    " 'value': v}), flush=True)\n"
 )
 
 
@@ -37,15 +49,34 @@ def _probe_backend(timeout: float, force_cpu: bool) -> Tuple[str, str]:
             [sys.executable, "-c", code], env=env, capture_output=True,
             text=True, timeout=timeout,
         )
-    except subprocess.TimeoutExpired:
+        out, rc, timed_out = proc.stdout, proc.returncode, False
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"")
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        rc, timed_out = None, True
+    lines = []
+    for ln in out.strip().splitlines():
+        try:
+            lines.append(json.loads(ln))
+        except Exception:
+            continue
+    if timed_out:
+        if lines:  # devices answered, compute never did — today's stall mode
+            info = lines[0]
+            return "fail", (
+                f"{info.get('platform')}:{info.get('kind')} visible but a "
+                f"trivial op did not complete within {timeout:.0f}s — relay "
+                "accepts connections but compute/executable-load is stalled"
+            )
         return "fail", f"no response within {timeout:.0f}s (relay down or hung init)"
-    if proc.returncode != 0:
+    if rc != 0:
         return "fail", (proc.stderr.strip().splitlines() or ["unknown error"])[-1][:200]
-    try:
-        info = json.loads(proc.stdout.strip().splitlines()[-1])
-    except Exception:
-        return "warn", f"unparseable probe output: {proc.stdout[:200]!r}"
-    return "ok", f"{info['platform']}:{info['kind']} x{info['n']}"
+    if len(lines) < 2:
+        return "warn", f"unparseable probe output: {out[:200]!r}"
+    info, op = lines[0], lines[1]
+    return "ok", (f"{info['platform']}:{info['kind']} x{info['n']} "
+                  f"(trivial op {op['op_ms']:.0f} ms)")
 
 
 def run_doctor(timeout: float = 60.0) -> List[Check]:

@@ -141,5 +141,28 @@ def test_doctor_is_hang_proof_and_reports(capsys):
 
     status, detail = _probe_backend(120.0, force_cpu=True)
     assert status == "ok" and "cpu" in detail
+    # the probe now proves COMPUTE works, not just enumeration
+    assert "trivial op" in detail
     assert by_name["flax"][0] == "ok"
     assert by_name["native LMDB reader"][0] in ("ok", "warn")
+
+
+def test_doctor_distinguishes_stalled_relay_from_down_relay(monkeypatch):
+    """Field failure mode (measured round 3): jax.devices() answers in
+    milliseconds while the first executable load hangs for minutes. A
+    devices-only probe reports 'ok' for a backend that cannot run one op;
+    the two-phase probe must call this out as a stall, not success."""
+    from multimodal_classification_tpu.utils import doctor
+
+    fake = (
+        "import json, time\n"
+        "print(json.dumps({'platform': 'axon', 'kind': 'TPU v5 lite',"
+        " 'n': 1}), flush=True)\n"
+        "time.sleep(60)\n"
+    )
+    monkeypatch.setattr(doctor, "_PROBE", fake)
+    # 15 s: the child must have time to START (interpreter startup takes
+    # seconds on this 1-core host when the suite runs in parallel)
+    status, detail = doctor._probe_backend(15.0, force_cpu=False)
+    assert status == "fail"
+    assert "stalled" in detail and "axon" in detail
