@@ -202,3 +202,51 @@ def test_http_server_over_artifact(setup):
                                    rtol=1e-5)
     finally:
         server.stop()
+
+
+def test_bf16_wire_signature_contract(tmp_path):
+    """Regression guard for the round-3 wire-dtype change: for a bf16 model
+    the exported programs' visual-feature input aval, the manifest's
+    wire_dtype, the live ServingModel's wire dtype, and the reloaded
+    artifact's wire dtype must ALL agree — a stale artifact exported before
+    a wire-contract change must be impossible to miss."""
+    from jax import export as jexport
+
+    cfg = tiny_vilbert_config(dtype="bfloat16", use_pallas_attention=False,
+                              v_feature_size=32)
+    model = ViLBERTForClassification(cfg)
+    b = dummy_batch(cfg, 1, 12, 6)
+    params = model.init(jax.random.key(0), **model_inputs(b))["params"]
+    rng = np.random.default_rng(0)
+    store = DictFeatureStore(
+        {"42": rng.standard_normal((6, 32)).astype(np.float32)},
+        {"42": rng.uniform(0, 1, (6, 5)).astype(np.float32)},
+    )
+    tok = WordPieceTokenizer(build_test_vocab())
+    kw = dict(max_seq_length=12, num_regions=6, feature_dim=32, batch_size=2,
+              seq_buckets=(8,))
+    sm = ServingModel(model, params, tok, store, **kw)
+    out = str(tmp_path / "artifact_bf16")
+    manifest = export_artifact(model, params, out, **kw)
+
+    assert manifest["wire_dtype"] == "bfloat16"
+    assert np.dtype(sm._wire_dtype) == np.dtype("bfloat16")
+
+    # the serialized programs' input signature carries the bf16 feature aval
+    import jax.numpy as jnp
+    for fname in manifest["programs"].values():
+        with open(os.path.join(out, fname), "rb") as f:
+            exp = jexport.deserialize(bytearray(f.read()))
+        feat_avals = [a for a in jax.tree_util.tree_leaves(exp.in_avals)
+                      if a.ndim == 3 and a.shape[-1] == 32]
+        assert feat_avals, "no visual-feature input aval found"
+        for a in feat_avals:
+            assert a.dtype == jnp.bfloat16, (fname, a)
+
+    # and the reloaded artifact serves with the same wire dtype + parity
+    loaded = load_artifact(out, tok, store)
+    assert np.dtype(loaded._wire_dtype) == np.dtype("bfloat16")
+    texts = ["this is a meme", "love"]
+    insts = [{"id": "42"}, {"id": "42"}]
+    np.testing.assert_allclose(loaded.predict(texts, insts),
+                               sm.predict(texts, insts), rtol=1e-6, atol=1e-7)
