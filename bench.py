@@ -192,7 +192,16 @@ def setup(k: int = 10, stacked: bool | None = None):
     # ~40% slower per step but compiles ~6× less HLO: the budget fallback.
     if stacked is None:
         stacked = os.environ.get("BENCH_STACKED", "0") == "1"
-    cfg = facebook_vilbert_config(stacked_encoder=stacked)
+    # BENCH_FFN_TRAIN / BENCH_ATTN_TRAIN: A/B overrides for the TRAINING
+    # fused-kernel paths (default: the config defaults, i.e. whatever the
+    # measured policy shipped) — used by scripts/bench_train_fused.py
+    overrides = {}
+    if os.environ.get("BENCH_FFN_TRAIN"):
+        overrides["fused_ffn_training"] = os.environ["BENCH_FFN_TRAIN"] == "1"
+    if os.environ.get("BENCH_ATTN_TRAIN"):
+        overrides["fused_attn_block_training"] = (
+            os.environ["BENCH_ATTN_TRAIN"] == "1")
+    cfg = facebook_vilbert_config(stacked_encoder=stacked, **overrides)
     model = ViLBERTForClassification(cfg)
     loss_fn = get_loss_function("ce")
     schedule = warmup_linear_schedule(1e-5, 2000, 10_000)

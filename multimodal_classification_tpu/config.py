@@ -102,6 +102,30 @@ class ViLBERTConfig:
     # seq 32: 2.76 vs 3.20 ms @1, 15.7 vs 17.0 @64; seq 128: 8.1 vs 9.4 @16,
     # 25.6 vs 29.2 @64).
     fused_ffn: bool = True
+    # Fuse each FFN residual BLOCK (both matmuls + in-kernel counter-hash
+    # dropout + residual LayerNorm) into one Pallas kernel in TRAINING steps,
+    # with a fused Pallas backward (one kernel producing dx and the per-row
+    # exports, then two single-op XLA weight-gradient matmuls) — see
+    # ops/pallas_kernels/fused_ffn_train.py. Targets the train step's
+    # measured per-op overhead (59% of device time across ~1480 small
+    # fusions). Text-stream 768/3072 FFNs only (the visual 1024/4096 weight
+    # set exceeds the VMEM budget and keeps the unfused path per-layer).
+    # Dropout bits come from the kernel's counter hash instead of
+    # nn.Dropout's PRNG (same Bernoulli distribution; parity-tested against
+    # the kernel's exact-bit XLA twin). Default set by the round-4 v5e A/B
+    # (see parameters.yml tuning log).
+    fused_ffn_training: bool = False
+    # Fuse each self-attention SUB-BLOCK in TRAINING steps — the training
+    # twin of fused_attn_block: q/k/v/out projections, masked softmax
+    # attention with in-kernel attention-prob dropout, output dropout and
+    # residual LayerNorm in one Pallas forward, plus a fused Pallas backward
+    # (one kernel recomputing the attention internals and producing dx + the
+    # per-row exports, then four single-op XLA weight-gradient matmuls) —
+    # ops/pallas_kernels/fused_attn_block_train.py. Text-stream 768-d layers
+    # only (the 1024-d visual stream exceeds the backward's VMEM budget and
+    # keeps the unfused path per-layer). Default set by the round-4 v5e A/B
+    # (see parameters.yml tuning log).
+    fused_attn_block_training: bool = False
     # Fuse each self-attention SUB-BLOCK (q/k/v/out projections + masked
     # softmax attention + residual LayerNorm) into one VMEM-resident Pallas
     # kernel at EVAL time — together with fused_ffn this turns a transformer

@@ -223,7 +223,7 @@ class Intermediate(nn.Module):
 
 
 def apply_ffn(inter_mod: "Intermediate", out_mod: "ResidualOutput", x,
-              deterministic: bool, fused: bool):
+              deterministic: bool, fused: bool, train_rng=None):
     """FFN block ``LN(x + dropout(gelu(x@W1+b1)@W2+b2))`` through bound
     ``Intermediate``/``ResidualOutput`` modules.
 
@@ -236,7 +236,35 @@ def apply_ffn(inter_mod: "Intermediate", out_mod: "ResidualOutput", x,
     Param layout is identical either way; falls back to the unfused path off
     TPU, at unsupported shapes, under calibration, for static-calibrated
     int8 layers, and when the two denses took different paths.
+
+    With ``train_rng`` set (training-time, config.fused_ffn_training) the
+    WHOLE block — both matmuls, in-kernel counter-hash dropout, residual
+    LayerNorm — runs as one Pallas kernel with a fused Pallas backward
+    (ops/pallas_kernels/fused_ffn_train.py). Dropout bits then come from the
+    kernel's hash instead of nn.Dropout's PRNG stream — same Bernoulli(rate)
+    distribution, different bits (training semantics preserved; parity tests
+    pin the kernel against its exact-bit XLA twin).
     """
+    if train_rng is not None and not deterministic:
+        p1 = inter_mod(x, params_only=True)
+        p2 = (
+            out_mod(jnp.zeros((1, p1[1].shape[1]), x.dtype), params_only=True,
+                    with_ln=True)
+            if p1 is not None and p1[0] == "float" else None
+        )
+        if p2 is not None and p2[0] is not None and p2[0][0] == "float":
+            (po, ln_scale, ln_bias) = p2
+            from multimodal_classification_tpu.ops.pallas_kernels import (
+                maybe_fused_ffn_train,
+            )
+
+            thunk = maybe_fused_ffn_train(
+                x, p1[1], p1[2], po[1], po[2], ln_scale, ln_bias,
+                out_mod.dropout_rate, train_rng,
+            )
+            if thunk is not None:
+                return thunk()
+        return out_mod(inter_mod(x), x, deterministic)
     if fused:
         p1 = inter_mod(x, params_only=True)
         # the probe only supplies the output dense's in-features (= the
@@ -276,6 +304,8 @@ class TransformerLayer(nn.Module):
     fused_ffn: bool = False
     fused_block: bool = False
     fused_layer: bool = False
+    fused_ffn_train: bool = False
+    fused_block_train: bool = False
 
     @nn.compact
     def __call__(self, hidden, bias, deterministic: bool):
@@ -303,11 +333,23 @@ class TransformerLayer(nn.Module):
         if self.fused_block and deterministic:
             attn_out = _try_fused_attn_block(
                 attn, out_mod, hidden, bias, self.num_heads)
+        if (attn_out is None and self.fused_block_train and not deterministic
+                and self.has_rng("dropout")):
+            attn_out = _try_fused_attn_block_train(
+                attn, out_mod, hidden, bias, self.num_heads,
+                self.attention_dropout, self.hidden_dropout,
+                self.make_rng("dropout"))
         if attn_out is None:
             attn_ctx = attn(hidden, bias, deterministic)
             attn_out = out_mod(attn_ctx, hidden, deterministic)
+        train_rng = (
+            self.make_rng("dropout")
+            if self.fused_ffn_train and not deterministic
+            and self.has_rng("dropout") else None
+        )
         return apply_ffn(
             inter_mod, ffn_out_mod, attn_out, deterministic, self.fused_ffn,
+            train_rng=train_rng,
         )
 
 
@@ -356,6 +398,42 @@ def _try_fused_layer(attn_mod: "SelfAttention", out_mod: "ResidualOutput",
         pq[1], pq[2], pq[3], pk[1], pk[2], pk[3], pv[1], pv[2], pv[3],
         po[1], po[2], po[3], ln1_s, ln1_b,
         p1[1], p1[2], p1[3], p2[1], p2[2], p2[3], ln2_s, ln2_b, num_heads,
+    )
+    return thunk() if thunk is not None else None
+
+
+def _try_fused_attn_block_train(attn_mod: "SelfAttention",
+                                out_mod: "ResidualOutput",
+                                hidden, bias, num_heads: int,
+                                rate_attn: float, rate_hidden: float, rng):
+    """Dispatch the whole attention sub-block to the TRAINING Pallas kernel
+    (ops/pallas_kernels/fused_attn_block_train.py): in-kernel dropouts +
+    fused backward. Returns None — falling back to the unfused modules —
+    off TPU, at unsupported shapes (the 1024-d visual stream), or on
+    non-float (quantized/calibrating) denses, which never occur in training.
+    Caller gates on ``not deterministic``."""
+    probes = attn_mod(hidden, None, True, params_only=True)
+    out_probe = out_mod(hidden, params_only=True, with_ln=True)
+    if out_probe is None or any(p is None for p in probes):
+        return None
+    (pq, pk, pv), (po, ln_scale, ln_bias) = probes, out_probe
+    if po is None:
+        return None
+    if {pq[0], pk[0], pv[0], po[0]} != {"float"}:
+        return None
+    b, s, _ = hidden.shape
+    key_bias = (
+        bias.reshape(b, s).astype(jnp.float32)
+        if bias is not None else jnp.zeros((b, s), jnp.float32)
+    )
+    from multimodal_classification_tpu.ops.pallas_kernels import (
+        maybe_fused_attn_block_train,
+    )
+
+    thunk = maybe_fused_attn_block_train(
+        hidden, key_bias, pq[1], pq[2], pk[1], pk[2], pv[1], pv[2],
+        po[1], po[2], ln_scale, ln_bias, num_heads,
+        rate_attn, rate_hidden, rng,
     )
     return thunk() if thunk is not None else None
 

@@ -47,6 +47,15 @@ from multimodal_classification_tpu.ops.attention import (
 from multimodal_classification_tpu.registry import register_model
 
 
+def _ffn_train_rngs(mod: nn.Module, cfg: ViLBERTConfig, deterministic: bool):
+    """Two dropout rngs for the training-fused FFN blocks (one per stream —
+    the kernel hashes (row, col) coordinates, so two streams sharing a seed
+    would share mask bits), or (None, None) when the path is off."""
+    if deterministic or not cfg.fused_ffn_training or not mod.has_rng("dropout"):
+        return None, None
+    return mod.make_rng("dropout"), mod.make_rng("dropout")
+
+
 class BiAttentionBlock(nn.Module):
     """Shared-projection bidirectional cross-attention + per-stream FFN —
     Facebook's `c_layer` (reference: vilbert_facebook_arch.py:222-394
@@ -93,19 +102,20 @@ class BiAttentionBlock(nn.Module):
             if fused is not None:
                 v_attn, t_attn = fused
                 fused_ffn = cfg.fused_ffn and deterministic
+                rng_v, rng_t = _ffn_train_rngs(self, cfg, deterministic)
                 v_out = apply_ffn(
                     Intermediate(cfg.v_intermediate_size, self.dtype,
                                  name="v_intermediate"),
                     ResidualOutput(cfg.v_hidden_size, cfg.v_hidden_dropout_prob,
                                    self.dtype, name="v_output"),
-                    v_attn, deterministic, fused_ffn,
+                    v_attn, deterministic, fused_ffn, train_rng=rng_v,
                 )
                 t_out = apply_ffn(
                     Intermediate(cfg.intermediate_size, self.dtype,
                                  name="t_intermediate"),
                     ResidualOutput(cfg.hidden_size, cfg.hidden_dropout_prob,
                                    self.dtype, name="t_output"),
-                    t_attn, deterministic, fused_ffn,
+                    t_attn, deterministic, fused_ffn, train_rng=rng_t,
                 )
                 return v_out, t_out
 
@@ -140,17 +150,18 @@ class BiAttentionBlock(nn.Module):
         t_attn = out_t(t_ctx, t_hidden, deterministic)
 
         fused = cfg.fused_ffn and deterministic
+        rng_v, rng_t = _ffn_train_rngs(self, cfg, deterministic)
         v_out = apply_ffn(
             Intermediate(cfg.v_intermediate_size, self.dtype, name="v_intermediate"),
             ResidualOutput(cfg.v_hidden_size, cfg.v_hidden_dropout_prob, self.dtype,
                            name="v_output"),
-            v_attn, deterministic, fused,
+            v_attn, deterministic, fused, train_rng=rng_v,
         )
         t_out = apply_ffn(
             Intermediate(cfg.intermediate_size, self.dtype, name="t_intermediate"),
             ResidualOutput(cfg.hidden_size, cfg.hidden_dropout_prob, self.dtype,
                            name="t_output"),
-            t_attn, deterministic, fused,
+            t_attn, deterministic, fused, train_rng=rng_t,
         )
         return v_out, t_out
 
@@ -262,17 +273,18 @@ class ConnectionBlock(nn.Module):
         )(t_ctx, t_hidden, deterministic)
 
         fused = cfg.fused_ffn and deterministic
+        rng_v, rng_t = _ffn_train_rngs(self, cfg, deterministic)
         v_out = apply_ffn(
             Intermediate(cfg.v_intermediate_size, self.dtype, name="intermediate_v"),
             ResidualOutput(cfg.v_hidden_size, cfg.v_hidden_dropout_prob, self.dtype,
                            name="output_v"),
-            v_attn, deterministic, fused,
+            v_attn, deterministic, fused, train_rng=rng_v,
         )
         t_out = apply_ffn(
             Intermediate(cfg.intermediate_size, self.dtype, name="intermediate_t"),
             ResidualOutput(cfg.hidden_size, cfg.hidden_dropout_prob, self.dtype,
                            name="output_t"),
-            t_attn, deterministic, fused,
+            t_attn, deterministic, fused, train_rng=rng_t,
         )
         return v_out, t_out
 
@@ -316,7 +328,8 @@ class SuperLayer(nn.Module):
                 cfg.hidden_size, cfg.num_attention_heads, cfg.intermediate_size,
                 cfg.hidden_dropout_prob, cfg.attention_probs_dropout_prob,
                 self.dtype, self.impl, fused, fused_block, fused_layer,
-                name=name,
+                fused_ffn_train=cfg.fused_ffn_training,
+                fused_block_train=cfg.fused_attn_block_training, name=name,
             )
 
         t_hidden = text_layer("t_a")(t_hidden, t_bias, det)
@@ -324,7 +337,9 @@ class SuperLayer(nn.Module):
         v_hidden = TransformerLayer(
             cfg.v_hidden_size, cfg.v_num_attention_heads, cfg.v_intermediate_size,
             cfg.v_hidden_dropout_prob, cfg.v_attention_probs_dropout_prob,
-            self.dtype, self.impl, fused, fused_block, fused_layer, name="v",
+            self.dtype, self.impl, fused, fused_block, fused_layer,
+            fused_ffn_train=cfg.fused_ffn_training,
+            fused_block_train=cfg.fused_attn_block_training, name="v",
         )(v_hidden, v_bias, det)
         co_block = BiAttentionBlock if cfg.pooling == "cls" else ConnectionBlock
         v_hidden, t_hidden = co_block(cfg, self.dtype, name="c")(
@@ -382,14 +397,18 @@ class ViLBERTEncoder(nn.Module):
                 cfg.hidden_size, cfg.num_attention_heads, cfg.intermediate_size,
                 cfg.hidden_dropout_prob, cfg.attention_probs_dropout_prob,
                 self.dtype, impl, cfg.fused_ffn and deterministic, fused_block,
-                fused_layer, name=f"layer_{t_idx}",
+                fused_layer, fused_ffn_train=cfg.fused_ffn_training,
+ fused_block_train=cfg.fused_attn_block_training,
+                name=f"layer_{t_idx}",
             )(t_hidden, t_bias, deterministic)
             if t_idx in co_sites and v_idx < cfg.v_num_hidden_layers:
                 v_hidden = visual_layer(
                     cfg.v_hidden_size, cfg.v_num_attention_heads, cfg.v_intermediate_size,
                     cfg.v_hidden_dropout_prob, cfg.v_attention_probs_dropout_prob,
                     self.dtype, impl, cfg.fused_ffn and deterministic, fused_block,
-                    fused_layer, name=f"v_layer_{v_idx}",
+                    fused_layer, fused_ffn_train=cfg.fused_ffn_training,
+ fused_block_train=cfg.fused_attn_block_training,
+                    name=f"v_layer_{v_idx}",
                 )(v_hidden, v_bias, deterministic)
                 v_hidden, t_hidden = co_block(cfg, self.dtype, name=f"c_layer_{v_idx}")(
                     v_hidden, t_hidden, v_bias, t_bias, deterministic

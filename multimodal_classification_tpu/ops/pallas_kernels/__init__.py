@@ -76,6 +76,41 @@ def maybe_fused_ffn(
     return lambda: ffn_k.fused_ffn(x, w1, b1, w2, b2)
 
 
+def maybe_fused_ffn_train(
+    x: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    dropout_rate: float,
+    dropout_rng: Optional[jax.Array],
+) -> Optional[Callable[[], jnp.ndarray]]:
+    """TRAINING twin of :func:`maybe_fused_ffn` covering the whole FFN
+    residual block ``LN(x + dropout(ffn(x)))``: forward in one Pallas pass
+    (in-kernel counter-hash dropout), backward in one Pallas pass + two XLA
+    weight-gradient matmuls (custom_vjp). None → unfused XLA path (wrong
+    platform, lane-misaligned dims, weights over the VMEM budget — the
+    visual 1024/4096 stream — or dropout without an rng)."""
+    if not on_tpu():
+        return None
+    if dropout_rate > 0.0 and dropout_rng is None:
+        return None
+    from multimodal_classification_tpu.ops.pallas_kernels import (
+        fused_ffn_train as ffn_t,
+    )
+
+    h, i = w1.shape
+    if x.shape[-1] != h or w2.shape != (i, h):
+        return None
+    if not ffn_t.supported_train(h, i, x.dtype):
+        return None
+    return lambda: ffn_t.fused_ffn_block_train(
+        x, w1, b1, w2, b2, gamma, beta, dropout_rate, dropout_rng
+    )
+
+
 def maybe_fused_ffn_int8(
     x: jnp.ndarray,
     q1: jnp.ndarray,
@@ -139,6 +174,35 @@ def maybe_fused_attn_block(
         return None
     return lambda: ab_k.fused_attn_block(
         x3, key_bias, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, num_heads
+    )
+
+
+def maybe_fused_attn_block_train(
+    x3, key_bias, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta,
+    num_heads: int, rate_attn: float, rate_hidden: float,
+    dropout_rng: Optional[jax.Array],
+) -> Optional[Callable[[], jnp.ndarray]]:
+    """TRAINING twin of :func:`maybe_fused_attn_block`: whole post-LN
+    attention sub-block with in-kernel counter-hash dropouts in one Pallas
+    forward and a fused Pallas backward + four XLA weight-gradient matmuls
+    (custom_vjp). None → unfused XLA path (wrong platform, unsupported
+    shapes — the 1024-d visual stream — or dropout without an rng)."""
+    if not on_tpu():
+        return None
+    if (rate_attn > 0.0 or rate_hidden > 0.0) and dropout_rng is None:
+        return None
+    from multimodal_classification_tpu.ops.pallas_kernels import (
+        fused_attn_block_train as ab_t,
+    )
+
+    b, s, hd = x3.shape
+    if wq.shape != (hd, hd) or not ab_t.supported_train(
+        b, s, hd, num_heads, x3.dtype
+    ):
+        return None
+    return lambda: ab_t.fused_attn_block_train(
+        x3, key_bias, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta,
+        num_heads, rate_attn, rate_hidden, dropout_rng,
     )
 
 
