@@ -10,6 +10,24 @@ import os
 import sys
 
 
+def _read_id_file(path: str):
+    """Ids for the device feature cache: one per line, or a .jsonl whose
+    records carry an 'id' field."""
+    ids = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("{"):
+                rec = json.loads(line)
+                if rec.get("id") is not None:
+                    ids.append(str(rec["id"]))
+            else:
+                ids.append(line)
+    return ids
+
+
 def _calibration_examples(params, root: str, n: int):
     """Texts + ids from the validation split, for int8 static-activation-
     scale calibration (``ServingModel.calibrate``)."""
@@ -114,6 +132,20 @@ def main(argv=None) -> int:
         help="with --int8: calibrate STATIC activation scales on N validation "
              "examples before serving (removes the per-row quantize "
              "max-reduction; see ops/quant.py)",
+    )
+    serve_p.add_argument(
+        "--batch-sizes", default=None, metavar="B1,B2",
+        help="comma-separated batch-size programs (e.g. 1,16,112): each "
+             "dispatch pads to the smallest compiled batch that fits, so "
+             "online singles stop paying the record-batch pad (one extra "
+             "compile per seq bucket per size)",
+    )
+    serve_p.add_argument(
+        "--preload-ids", default=None, metavar="PATH",
+        help="file of ids (one per line, or a .jsonl with an 'id' field): "
+             "preload their features into HBM and serve id-only requests "
+             "through the device-resident gather path — only token ids + "
+             "row indices cross the host link (single-chip only)",
     )
     serve_p.add_argument(
         "--artifact", default=None,
@@ -284,10 +316,18 @@ def main(argv=None) -> int:
                 from multimodal_classification_tpu.parallel.mesh import build_mesh
 
                 mesh = build_mesh(tuple(int(x) for x in args.mesh.split(",")))
+            if getattr(args, "batch_sizes", None):
+                common["batch_sizes"] = tuple(
+                    int(b) for b in args.batch_sizes.split(","))
             serving = ServingModel(model, params_tree, tokenizer, store,
                                    mesh=mesh, **common)
             if calib is not None:
                 serving.calibrate(*calib)
+            if getattr(args, "preload_ids", None):
+                n = serving.preload_features(
+                    _read_id_file(args.preload_ids))
+                logging.getLogger(__name__).info(
+                    "preloaded %d ids into the device feature cache", n)
         serving.warmup()
         server = InferenceServer(serving, args.host, args.port,
                                  linger_ms=args.linger_ms,

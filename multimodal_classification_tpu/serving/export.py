@@ -233,6 +233,11 @@ class ExportedServingModel(ServingModel):
         self.num_regions = int(man["num_regions"])
         self.feature_dim = int(man["feature_dim"])
         self.batch_size = int(man["batch_size"])
+        # serialized programs are fixed-batch; no per-size routing and no
+        # device feature cache (the programs take inline feature tensors)
+        self.batch_sizes = (self.batch_size,)
+        self._cache = None
+        self._cached_step = None
         self._wire_dtype = np.dtype(man.get("wire_dtype", "float32"))
         with np.load(os.path.join(artifact_dir, "params.npz")) as z:
             flat = dict(z)

@@ -38,6 +38,116 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+class DeviceFeatureCache:
+    """Visual features resident in HBM, gathered by row index inside the
+    compiled step.
+
+    The HTTP serving path was measured 42× below the compiled step's
+    capability because every batch-64 dispatch re-shipped ~26 MB of
+    ``[B, 100, 2048]`` features over a ~20 MB/s relay link (round-3
+    bench_server). Serving by meme id instead keeps the feature tensor on
+    device — the full 12,540-meme HatefulMemes set is ≈5.1 GB bf16, well
+    inside a v5e's 16 GB next to ~0.5 GB of params — and only token ids +
+    row indices cross the link (~8 KB per batch-112 dispatch).
+
+    Mirrors the reference FeatureStore lookup semantics
+    (lmdb_dataset.py:126-141) including the zero-feature / all-ones-mask
+    fallback for unknown ids, applied ON DEVICE via a masked gather.
+    """
+
+    def __init__(self, ids: Sequence[str], feats: np.ndarray,
+                 spatial: np.ndarray, mask: np.ndarray, wire_dtype):
+        self.index: Dict[str, int] = {str(i): n for n, i in enumerate(ids)}
+        self.features = jnp.asarray(feats.astype(wire_dtype))
+        self.spatial = jnp.asarray(spatial)
+        self.mask = jnp.asarray(mask)
+
+    @classmethod
+    def from_store(cls, store, ids: Sequence[str], *, num_regions: int,
+                   feature_dim: int, wire_dtype=np.float32,
+                   drop_missing: bool = True) -> "DeviceFeatureCache":
+        """Assemble the cache host-side from any FeatureStore (one upload per
+        field). Ids the store cannot resolve are dropped (they then take the
+        on-device zero-feature fallback at lookup time, same as the host
+        path)."""
+        rows, kept = [], []
+        for i in ids:
+            got = store.get(str(i))
+            if got is None:
+                if not drop_missing:
+                    raise KeyError(f"feature store has no id {i!r}")
+                continue
+            rows.append(got)
+            kept.append(str(i))
+        n = len(kept)
+        feats = np.zeros((max(n, 1), num_regions, feature_dim), np.float32)
+        spatial = np.zeros((max(n, 1), num_regions, 5), np.float32)
+        mask = np.zeros((max(n, 1), num_regions), np.float32)
+        for r, (f, s) in enumerate(rows):
+            f = np.asarray(f, np.float32)
+            s = np.asarray(s, np.float32)
+            m = min(len(f), num_regions)
+            feats[r, :m] = f[:m, :feature_dim]
+            spatial[r, :m] = s[:m, :5]
+            mask[r, :m] = 1.0
+        return cls(kept, feats, spatial, mask, wire_dtype)
+
+    def indices_for(self, ids: Sequence[Any]) -> np.ndarray:
+        return np.asarray(
+            [self.index.get(str(i), -1) if i is not None else -1 for i in ids],
+            np.int32,
+        )
+
+    def arrays(self):
+        return self.features, self.spatial, self.mask
+
+    @property
+    def nbytes(self) -> int:
+        return self.features.nbytes + self.spatial.nbytes + self.mask.nbytes
+
+
+def _make_cached_eval_step(model, quantized: bool):
+    """Eval step taking row INDICES into a device-resident feature cache:
+    the gather (plus the unknown-id zero-feature fallback) runs on device,
+    so the host ships only token arrays + one int32 index per instance."""
+
+    def gather(cache_feats, cache_spatial, cache_mask, idx):
+        safe = jnp.maximum(idx, 0)
+        missing = (idx < 0)
+        feats = jnp.take(cache_feats, safe, axis=0)
+        spatial = jnp.take(cache_spatial, safe, axis=0)
+        mask = jnp.take(cache_mask, safe, axis=0)
+        feats = jnp.where(missing[:, None, None], 0, feats)
+        spatial = jnp.where(missing[:, None, None], 0, spatial)
+        # unknown id → zero features with an ALL-ONES mask, exactly the
+        # reference's missing-id behavior (lmdb_dataset.py:149-153)
+        mask = jnp.where(missing[:, None], 1.0, mask)
+        return feats, spatial, mask
+
+    if quantized:
+        def step(params, quant, cache_feats, cache_spatial, cache_mask,
+                 tokens, idx):
+            feats, spatial, mask = gather(cache_feats, cache_spatial,
+                                          cache_mask, idx)
+            out = model.apply(
+                {"params": params, "quant": quant}, **tokens,
+                visual_features=feats, visual_attention_mask=mask,
+                spatial_locations=spatial, deterministic=True,
+            )
+            return out["logits"]
+    else:
+        def step(params, cache_feats, cache_spatial, cache_mask, tokens, idx):
+            feats, spatial, mask = gather(cache_feats, cache_spatial,
+                                          cache_mask, idx)
+            out = model.apply(
+                {"params": params}, **tokens,
+                visual_features=feats, visual_attention_mask=mask,
+                spatial_locations=spatial, deterministic=True,
+            )
+            return out["logits"]
+    return step
+
+
 class ServingModel:
     """Fixed-shape batched predictor over a trained ViLBERT.
 
@@ -59,6 +169,7 @@ class ServingModel:
         int8: bool = False,
         int8_min_dim: int = 256,
         seq_buckets: Optional[Sequence[int]] = None,
+        batch_sizes: Optional[Sequence[int]] = None,
         mesh=None,
     ):
         from multimodal_classification_tpu.training.train import (
@@ -81,6 +192,17 @@ class ServingModel:
         self.num_regions = num_regions
         self.feature_dim = feature_dim
         self.batch_size = batch_size
+        # Batch-size programs: each dispatch pads to the SMALLEST compiled
+        # batch that fits (default: just ``batch_size``). A server tuned for
+        # throughput compiles e.g. {1, 16, 112} so online singles stop paying
+        # the record-batch pad (round-3: batch-1 on the batch-112 int8
+        # fused-layer program measured 12.7 ms vs 9.3 unfused — per-batch
+        # routing sidesteps the regression by construction). Each size is one
+        # extra compile per seq bucket; identical logits (padding is masked).
+        sizes = sorted({int(b) for b in (batch_sizes or ()) if 0 < int(b)}
+                       | {int(batch_size)})
+        self.batch_sizes = tuple(sizes)
+        self.batch_size = self.batch_sizes[-1]
         self.params = params
         # Wire dtype for the dense visual-feature tensor (the dominant
         # host→device bytes: batch·regions·feature_dim). The model's
@@ -118,6 +240,8 @@ class ServingModel:
         else:
             self._quant = None
             self._step = jax.jit(make_eval_step(model))
+        self._cache: Optional[DeviceFeatureCache] = None
+        self._cached_step = None
         # Multi-chip serving: shard the compiled batch over the mesh's dp
         # axis (each chip evaluates batch/dp examples; tp rules shard params
         # over mp when the mesh has one) — XLA inserts the collectives. The
@@ -160,12 +284,45 @@ class ServingModel:
                                            self._quant, batches)
         logger.info("int8 activation scales calibrated on %d examples", len(texts))
 
+    def preload_features(self, ids: Sequence[str]) -> int:
+        """Load the given ids' features into HBM and serve id-only requests
+        through the device-resident gather path (see DeviceFeatureCache).
+        Returns the number of resident rows. Requires a feature store;
+        unsupported under a mesh (the cache would need dp replication —
+        multi-chip serving keeps the host feature path)."""
+        if self.store is None:
+            raise ValueError("preload_features requires a feature store")
+        if self.mesh is not None:
+            raise ValueError("device feature cache is single-chip only")
+        self._cache = DeviceFeatureCache.from_store(
+            self.store, ids, num_regions=self.num_regions,
+            feature_dim=self.feature_dim, wire_dtype=self._wire_dtype,
+        )
+        self._cached_step = jax.jit(
+            _make_cached_eval_step(self._model, self._quant is not None),
+            donate_argnums=(),
+        )
+        logger.info("device feature cache: %d ids, %.0f MB resident",
+                    len(self._cache.index), self._cache.nbytes / 1e6)
+        return len(self._cache.index)
+
     def warmup(self):
-        """Compile the eval program for every seq bucket before taking traffic."""
-        for b in self.seq_buckets:
-            # b-2 single-piece words + [CLS]/[SEP] tokenize to exactly b ids,
-            # landing in bucket b (longer texts truncate to max_seq_length)
-            _ = self.predict(["w " * max(b - 2, 1)])
+        """Compile the eval program for every (seq bucket × batch size)
+        before taking traffic."""
+        for bs in self.batch_sizes:
+            for b in self.seq_buckets:
+                # b-2 single-piece words + [CLS]/[SEP] tokenize to exactly b
+                # ids, landing in bucket b (longer texts truncate)
+                _ = self.predict(["w " * max(b - 2, 1)] * bs)
+                if self._cache is not None:
+                    _ = self.predict(["w " * max(b - 2, 1)] * bs,
+                                     [{"id": "?warmup?"}] * bs)
+
+    def _pick_batch(self, n: int) -> int:
+        for b in self.batch_sizes:
+            if n <= b:
+                return b
+        return self.batch_sizes[-1]
 
     def _pick_bucket(self, used_len: int) -> int:
         for b in self.seq_buckets:
@@ -231,10 +388,12 @@ class ServingModel:
         spatial = np.stack([t[1] for t in trip])
         vmask = np.stack([t[2] for t in trip])
 
+        bs = self.batch_size if self.mesh is not None else self._pick_batch(n)
+
         def pad(x):
-            if n == self.batch_size:
+            if n == bs:
                 return x
-            reps = [(0, self.batch_size - n)] + [(0, 0)] * (x.ndim - 1)
+            reps = [(0, bs - n)] + [(0, 0)] * (x.ndim - 1)
             return np.pad(x, reps)
 
         batch = {
@@ -249,6 +408,40 @@ class ServingModel:
             return jax.device_put(batch, self._batch_sharding)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
+    def _predict_cached(self, texts: Sequence[str],
+                        instances: Sequence[Dict[str, Any]]) -> np.ndarray:
+        """Id-only fast path: ship token arrays + one int32 row index per
+        instance; the feature gather runs on device from the resident cache."""
+        n = len(texts)
+        ids_, mask_, type_ = self.tokenizer.encode_batch(
+            list(texts), self.max_seq_length)
+        if len(self.seq_buckets) > 1:
+            seq = self._pick_bucket(int(mask_.sum(-1).max()))
+            ids_, mask_, type_ = ids_[:, :seq], mask_[:, :seq], type_[:, :seq]
+        idx = self._cache.indices_for([inst.get("id") for inst in instances])
+        bs = self._pick_batch(n)
+
+        def pad(x):
+            if n == bs:
+                return x
+            return np.pad(x, [(0, bs - n)] + [(0, 0)] * (x.ndim - 1))
+
+        tokens = {
+            "input_ids": jnp.asarray(pad(ids_)),
+            "attention_mask": jnp.asarray(pad(mask_)),
+            "token_type_ids": jnp.asarray(pad(type_)),
+        }
+        # padded rows index -1 → on-device zero-feature fallback (masked out
+        # of the returned probabilities anyway)
+        idx = jnp.asarray(np.pad(idx, (0, bs - n), constant_values=-1))
+        cf, cs, cm = self._cache.arrays()
+        if self._quant is not None:
+            logits = self._cached_step(self.params, self._quant, cf, cs, cm,
+                                       tokens, idx)
+        else:
+            logits = self._cached_step(self.params, cf, cs, cm, tokens, idx)
+        return np.asarray(logits)[:n]
+
     def predict(self, texts: Sequence[str],
                 instances: Optional[Sequence[Dict[str, Any]]] = None) -> np.ndarray:
         n = len(texts)
@@ -256,12 +449,17 @@ class ServingModel:
             return np.zeros((0, 2), np.float32)
         if n > self.batch_size:
             raise ValueError(f"batch of {n} exceeds compiled size {self.batch_size}")
-        batch = self._build_batch(texts, instances)
-        if self._quant is not None:
-            logits = self._step(self.params, self._quant, batch)
+        if (self._cache is not None and instances is not None
+                and len(instances) == n
+                and all(i.get("features") is None for i in instances)):
+            logits = self._predict_cached(texts, instances)
         else:
-            logits = self._step(self.params, batch)
-        logits = np.asarray(logits)[:n]
+            batch = self._build_batch(texts, instances)
+            if self._quant is not None:
+                logits = self._step(self.params, self._quant, batch)
+            else:
+                logits = self._step(self.params, batch)
+            logits = np.asarray(logits)[:n]
         z = logits - logits.max(-1, keepdims=True)
         p = np.exp(z)
         return (p / p.sum(-1, keepdims=True)).astype(np.float32)

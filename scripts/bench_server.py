@@ -44,16 +44,22 @@ import numpy as np
 
 
 def drive(server, mode: str, n_requests: int, concurrency: int,
-          batch: int, text: str) -> dict:
+          batch: int, text: str, ids=None) -> dict:
     """Client-drive a started InferenceServer over keep-alive connections;
     returns {"rps", "p50_ms", "p99_ms", ...}. Importable (tests use it with
-    the tiny config)."""
+    the tiny config). ``ids``: per-instance feature ids (cycled) — with a
+    preloaded device cache only these + the text cross the HTTP/host link."""
     import http.client
 
     port = server.port
-    payload_one = json.dumps({"text": text}).encode()
+    def inst(i):
+        d = {"text": text}
+        if ids:
+            d["id"] = ids[i % len(ids)]
+        return d
+    payload_one = json.dumps(inst(0)).encode()
     payload_batch = json.dumps(
-        {"instances": [{"text": text}] * batch}).encode()
+        {"instances": [inst(i) for i in range(batch)]}).encode()
     headers = {"Content-Type": "application/json"}
     done = threading.Event()
     counts = [0] * concurrency
@@ -165,15 +171,42 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"server bench on {dev.platform}:{dev.device_kind}", file=sys.stderr)
     model = ViLBERTForClassification(cfg)
-    init_batch = dummy_batch(cfg, 1, 16, 100 if not tiny else 8)
+    regions = 100 if not tiny else 8
+    init_batch = dummy_batch(cfg, 1, 16, regions)
     params = model.init(jax.random.key(0), **model_inputs(init_batch))["params"]
     tok = WordPieceTokenizer(build_test_vocab())
-    sm = ServingModel(model, params, tok, None,
+
+    # feature store: synthetic ids so requests can serve BY ID. With
+    # SERVER_CACHE=1 (default) the features are preloaded into HBM and only
+    # token ids + row indices cross the link per dispatch — the round-3
+    # transfer-bound result (150 rps bulk at batch 64: ~26 MB of features
+    # per dispatch over a ~20 MB/s link) becomes compute-bound.
+    from multimodal_classification_tpu.data import DictFeatureStore
+
+    n_ids = int(os.environ.get("SERVER_N_IDS", "256"))
+    rng = np.random.default_rng(0)
+    ids = [str(10000 + i) for i in range(n_ids)]
+    store = DictFeatureStore(
+        {i: rng.standard_normal((regions, cfg.v_feature_size)).astype(np.float32)
+         for i in ids},
+        {i: rng.uniform(0, 1, (regions, 5)).astype(np.float32) for i in ids},
+    )
+    use_cache = os.environ.get("SERVER_CACHE", "1") == "1"
+    batch_sizes = None
+    if os.environ.get("SERVER_BATCH_SIZES"):
+        batch_sizes = tuple(
+            int(b) for b in os.environ["SERVER_BATCH_SIZES"].split(","))
+    sm = ServingModel(model, params, tok, store,
                       max_seq_length=128 if not tiny else 16,
-                      num_regions=100 if not tiny else 8,
+                      num_regions=regions,
                       feature_dim=cfg.v_feature_size,
                       batch_size=batch_size, int8=int8,
-                      seq_buckets=seq_buckets if not tiny else ())
+                      seq_buckets=seq_buckets if not tiny else (),
+                      batch_sizes=batch_sizes)
+    if use_cache:
+        n_loaded = sm.preload_features(ids)
+        print(f"device feature cache: {n_loaded} ids "
+              f"({sm._cache.nbytes / 1e6:.0f} MB resident)", file=sys.stderr)
     t0 = time.perf_counter()
     sm.warmup()
     print(f"warmup (compile): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
@@ -189,9 +222,11 @@ def main() -> int:
                                  request_timeout_s=req_timeout)
         server.start()
         try:
-            result = drive(server, mode, n_requests, concurrency, batch, text)
+            result = drive(server, mode, n_requests, concurrency, batch, text,
+                           ids=ids)
         finally:
             server.stop()
+        result["device_cache"] = use_cache
         print(json.dumps(result), flush=True)
     return 0
 

@@ -341,3 +341,61 @@ def test_wire_dtype_follows_model_compute_dtype(serving):
     bsm_f32._wire_dtype = np.dtype(np.float32)
     ref = bsm_f32.predict(texts, insts)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_device_feature_cache_parity_and_fallback(serving):
+    """Id-only requests through the device-resident gather path must produce
+    the SAME probabilities as the host feature path, including the
+    zero-feature / all-ones-mask fallback for unknown ids."""
+    cfg, model, params, store, tok, _ = serving
+    sm = ServingModel(model, params, tok, store, max_seq_length=12,
+                      num_regions=6, feature_dim=32, batch_size=4)
+    texts = ["this is a hateful meme", "love", "meme"]
+    insts = [{"id": "42"}, {"id": "missing"}, {"id": "42"}]
+    host = sm.predict(texts, insts)
+    n = sm.preload_features(["42", "also-missing-in-store"])
+    assert n == 1  # ids the store can't resolve are dropped
+    assert sm._cache is not None
+    cached = sm.predict(texts, insts)
+    np.testing.assert_allclose(cached, host, rtol=1e-5, atol=1e-6)
+    # inline-feature instances bypass the cache (host path)
+    rng = np.random.default_rng(1)
+    inline = [{"features": rng.standard_normal((6, 32)).astype(np.float32)}]
+    got = sm.predict(["inline"], inline)
+    assert got.shape == (1, 2)
+
+
+def test_batch_size_routing_parity(serving):
+    """Multiple compiled batch sizes: a single request dispatches the
+    smallest program; probabilities identical to the full-batch pad."""
+    cfg, model, params, store, tok, _ = serving
+    sm_multi = ServingModel(model, params, tok, store, max_seq_length=12,
+                            num_regions=6, feature_dim=32, batch_size=4,
+                            batch_sizes=(1, 4))
+    sm_single = ServingModel(model, params, tok, store, max_seq_length=12,
+                             num_regions=6, feature_dim=32, batch_size=4)
+    assert sm_multi.batch_sizes == (1, 4)
+    assert sm_multi._pick_batch(1) == 1 and sm_multi._pick_batch(2) == 4
+    one = sm_multi.predict(["one meme"], [{"id": "42"}])
+    ref = sm_single.predict(["one meme"], [{"id": "42"}])
+    np.testing.assert_allclose(one, ref, rtol=1e-5, atol=1e-6)
+    # oversize still rejected at the largest program
+    with pytest.raises(ValueError):
+        sm_multi.predict(["a"] * 5)
+
+
+def test_cached_path_with_batch_sizes_and_buckets(serving):
+    cfg, model, params, store, tok, _ = serving
+    sm = ServingModel(model, params, tok, store, max_seq_length=12,
+                      num_regions=6, feature_dim=32, batch_size=4,
+                      batch_sizes=(1, 4), seq_buckets=(8,))
+    host = sm.predict(["love"], [{"id": "42"}])
+    sm.preload_features(["42"])
+    np.testing.assert_allclose(sm.predict(["love"], [{"id": "42"}]), host,
+                               rtol=1e-5, atol=1e-6)
+    long = ["a " * 20]
+    host_long = ServingModel(model, params, tok, store, max_seq_length=12,
+                             num_regions=6, feature_dim=32,
+                             batch_size=4).predict(long, [{"id": "42"}])
+    np.testing.assert_allclose(sm.predict(long, [{"id": "42"}]), host_long,
+                               rtol=1e-5, atol=1e-6)
