@@ -38,6 +38,7 @@ import json
 import logging
 import os
 import subprocess
+import time
 import sys
 
 logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
@@ -179,11 +180,181 @@ def fabricate_project(root: str) -> str:
     return ckpt
 
 
+def synthetic_fullsize_gate(steps: int, lr: float, batch: int,
+                            signal: float) -> int:
+    """Offline stand-in for the real-data AUROC north star (VERDICT r3
+    missing #2): prove the FULL Facebook-size model (12×768 / 6×1024,
+    ~250 M params) LEARNS under the real training stack — bf16 compute,
+    fp32-parity AdamW with bf16 moments, text bucketing, device-resident
+    data — not merely that the step runs.
+
+    Fabricates a linearly separable dataset at the reference shapes
+    ([100, 2048] features, 128-token texts; signal: the first 64 feature
+    channels shift by ±signal/2 with the label), trains ``steps`` real TPU
+    steps at the bench configuration, then gates:
+      - final train loss < 0.5  (crossed away from ln 2), and
+      - held-out synthetic AUROC ≥ 0.95.
+    Matches the reference hot loop nodes.py:712-841 structurally; the LR is
+    gate-local (the reference's 1e-5 fine-tune rate is tuned for pretrained
+    weights; this gate trains from init).
+    """
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import pandas as pd
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(REPO, "data/09_bench_cache/jax_cache"))
+    import jax as _jax
+    _jax.config.update("jax_compilation_cache_dir",
+                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from multimodal_classification_tpu.config import facebook_vilbert_config
+    from multimodal_classification_tpu.data import (
+        DictFeatureStore,
+        MemesDataset,
+        WordPieceTokenizer,
+        build_test_vocab,
+    )
+    from multimodal_classification_tpu.data.device_cache import (
+        build_device_data,
+        epoch_indices,
+        make_device_eval_step,
+        make_device_multi_step,
+    )
+    from multimodal_classification_tpu.models.vilbert import (
+        ViLBERTForClassification,
+    )
+    from multimodal_classification_tpu.training.losses import get_loss_function
+    from multimodal_classification_tpu.training.metrics import auroc as compute_auroc
+    from multimodal_classification_tpu.training.optimizers import adamw_mixed
+    from multimodal_classification_tpu.training.schedule import (
+        warmup_linear_schedule,
+    )
+    from multimodal_classification_tpu.training.train import (
+        TrainState,
+        model_inputs,
+    )
+
+    n_train, n_val = 384, 128
+    n = n_train + n_val
+    rng = np.random.default_rng(0)
+    labels = (np.arange(n) % 2).astype(np.int32)
+    rng.shuffle(labels)
+    feats = {}
+    spatial = {}
+    ids = [str(20000 + i) for i in range(n)]
+    for i, ex_id in enumerate(ids):
+        f = rng.standard_normal((100, 2048)).astype(np.float32)
+        f[:, :64] += (labels[i] - 0.5) * signal
+        feats[ex_id] = f
+        spatial[ex_id] = rng.uniform(0, 1, (100, 5)).astype(np.float32)
+    words = ["the", "meme", "is", "a", "this", "people", "love", "hate"]
+    df = pd.DataFrame({
+        "id": ids,
+        "text": [" ".join(rng.choice(words, 12)) for _ in range(n)],
+        "label": labels,
+    })
+    store = DictFeatureStore(feats, spatial)
+    tok = WordPieceTokenizer(build_test_vocab())
+    ds = MemesDataset(df, tok, store, max_seq_length=128, max_regions=100,
+                      feature_dim=2048)
+    data = build_device_data(ds, feature_dtype=jnp.bfloat16)
+    jax.block_until_ready(data.visual_features)
+    logger.info("synthetic device data: %d examples, %.0f MB features",
+                n, data.visual_features.nbytes / 1e6)
+
+    cfg = facebook_vilbert_config()
+    model = ViLBERTForClassification(cfg)
+    loss_fn = get_loss_function("ce")
+    schedule = warmup_linear_schedule(lr, 50, max(steps, 100))
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        adamw_mixed(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
+                    mu_dtype=jnp.bfloat16, nu_dtype=jnp.bfloat16),
+    )
+    bucket = data.seq_bucket(32)
+    first = {k: np.stack([ds.get(i)[k] for i in range(2)]) for k in ds.get(0)}
+    first = {**first, "input_ids": first["input_ids"][:, :bucket],
+             "attention_mask": first["attention_mask"][:, :bucket],
+             "token_type_ids": first["token_type_ids"][:, :bucket]}
+    params = model.init(jax.random.key(0), **model_inputs(first))["params"]
+    state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    K = 10
+    step = jax.jit(make_device_multi_step(model, loss_fn, tx,
+                                          seq_bucket=bucket),
+                   donate_argnums=0)
+    rng_key = jax.random.key(1, impl="rbg")
+
+    train_idx = np.arange(n_train)
+    losses = []
+    t0 = time.perf_counter()
+    blocks = []
+    e = 0
+    while len(blocks) * K < steps:
+        block = []
+        for idx in epoch_indices(n_train, batch, e, seed=0):
+            block.append(np.asarray(idx))
+            if len(block) == K:
+                blocks.append(jnp.asarray(np.stack(block)))
+                block = []
+            if len(blocks) * K >= steps:
+                break
+        e += 1
+    for bi, blk in enumerate(blocks):
+        state, m = step(state, data, blk, rng_key)
+        loss = float(m["loss"])
+        losses.append(loss)
+        if bi % 4 == 0 or bi == len(blocks) - 1:
+            logger.info("step %d/%d loss=%.4f (%.0fs)",
+                        (bi + 1) * K, steps, loss, time.perf_counter() - t0)
+
+    eval_step = jax.jit(make_device_eval_step(model, seq_bucket=bucket))
+    probs = []
+    val_idx = np.arange(n_train, n)
+    for i in range(0, n_val, batch):
+        idx = jnp.asarray(val_idx[i:i + batch])
+        if idx.shape[0] < batch:
+            idx = jnp.pad(idx, (0, batch - idx.shape[0]))
+        logits = np.asarray(eval_step(state.params, data, idx))
+        z = logits - logits.max(-1, keepdims=True)
+        p = np.exp(z)
+        probs.append((p / p.sum(-1, keepdims=True))[:, 1])
+    probs = np.concatenate(probs)[:n_val]
+    auroc = float(compute_auroc(labels[n_train:], probs))
+    final_loss = losses[-1]
+    ok = final_loss < 0.5 and auroc >= 0.95
+    result = {
+        "mode": "synthetic_fullsize_gate",
+        "steps": steps, "lr": lr, "batch": batch, "signal": signal,
+        "loss_curve": [round(x, 4) for x in losses],
+        "final_loss": round(final_loss, 4),
+        "val_auroc": round(auroc, 4),
+        "gate": "PASS" if ok else "FAIL",
+    }
+    print(json.dumps(result), flush=True)
+    logger.info("synthetic full-size gate: loss %.4f (<0.5), AUROC %.4f "
+                "(>=0.95) → %s", final_loss, auroc, result["gate"])
+    return 0 if ok else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="lmdb_repro")
     ap.add_argument("--dry-run", action="store_true",
                     help="offline: fabricated fixture end-to-end")
+    ap.add_argument("--synthetic-fullsize", action="store_true",
+                    help="offline learnability gate: train the FULL FB-size "
+                         "model on a fabricated separable dataset at the "
+                         "reference shapes and gate loss<0.5 + AUROC>=0.95")
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--lr", type=float, default=5e-5)
+    ap.add_argument("--signal", type=float, default=2.0)
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--band", nargs=2, type=float, default=None,
                     help="override the AUROC gate [lo hi]")
     ap.add_argument("--ref-history", default=REF_HISTORY,
@@ -192,6 +363,9 @@ def main() -> int:
     ap.add_argument("--trajectory-tol", type=float, default=TRAJECTORY_TOL)
     ap.add_argument("--skip-int8-ab", action="store_true")
     args = ap.parse_args()
+    if args.synthetic_fullsize:
+        return synthetic_fullsize_gate(args.steps, args.lr, args.batch,
+                                       args.signal)
     root = os.path.abspath(args.root)
     os.makedirs(root, exist_ok=True)
 
