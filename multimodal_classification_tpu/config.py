@@ -112,8 +112,14 @@ class ViLBERTConfig:
     # set exceeds the VMEM budget and keeps the unfused path per-layer).
     # Dropout bits come from the kernel's counter hash instead of
     # nn.Dropout's PRNG (same Bernoulli distribution; parity-tested against
-    # the kernel's exact-bit XLA twin). Default set by the round-4 v5e A/B
-    # (see parameters.yml tuning log).
+    # the kernel's exact-bit XLA twin).
+    # Default OFF: measured SLOWER on v5e at the flagship config in same-run
+    # A/Bs (scripts/bench_train_fused.py, round 4) — 22.98 ms/step with the
+    # row-grid kernels and 22.68 with the I-grid (512-row-dot) variant vs
+    # 21.9-22.2 baseline. The backward's a/du/dd exports for the XLA
+    # weight-grad matmuls add HBM round-trips XLA's own fused backward
+    # avoids by folding gelu'/mask into its dot epilogues. Kept
+    # parity-tested + selectable; see docs/PERFORMANCE.md.
     fused_ffn_training: bool = False
     # Fuse each self-attention SUB-BLOCK in TRAINING steps — the training
     # twin of fused_attn_block: q/k/v/out projections, masked softmax
@@ -123,9 +129,17 @@ class ViLBERTConfig:
     # per-row exports, then four single-op XLA weight-gradient matmuls) —
     # ops/pallas_kernels/fused_attn_block_train.py. Text-stream 768-d layers
     # only (the 1024-d visual stream exceeds the backward's VMEM budget and
-    # keeps the unfused path per-layer). Default set by the round-4 v5e A/B
-    # (see parameters.yml tuning log).
-    fused_attn_block_training: bool = False
+    # keeps the unfused path per-layer).
+    # Default ON: measured FASTER on v5e at the flagship train config in
+    # four same-run A/B pairs (scripts/bench_train_fused.py, round 4):
+    # 21.4-21.7 ms/step vs 21.9-22.7 baseline (~+3%, best 747 memes/s; one
+    # 40 ms outlier under host contention discarded). Unlike the FFN
+    # (fused_ffn_training, measured slower), the attention sub-block's many
+    # small ops (scores, softmax, dropout, per-head context) fuse profitably
+    # because its backward needs no large per-row exports beyond [R, H]
+    # tensors. Training under an mp>1 mesh keeps the unfused path (whole-
+    # weight kernel operands would all-gather; see Trainer.__init__).
+    fused_attn_block_training: bool = True
     # Fuse each self-attention SUB-BLOCK (q/k/v/out projections + masked
     # softmax attention + residual LayerNorm) into one VMEM-resident Pallas
     # kernel at EVAL time — together with fused_ffn this turns a transformer

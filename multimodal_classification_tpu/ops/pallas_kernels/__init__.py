@@ -104,7 +104,10 @@ def maybe_fused_ffn_train(
     h, i = w1.shape
     if x.shape[-1] != h or w2.shape != (i, h):
         return None
-    if not ffn_t.supported_train(h, i, x.dtype):
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    if not ffn_t.supported_train(h, i, x.dtype, rows=rows):
         return None
     return lambda: ffn_t.fused_ffn_block_train(
         x, w1, b1, w2, b2, gamma, beta, dropout_rate, dropout_rng

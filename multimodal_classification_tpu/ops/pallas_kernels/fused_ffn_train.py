@@ -99,10 +99,57 @@ def _block_rows_bwd(h: int, i: int, itemsize: int) -> int:
     return 0
 
 
-def supported_train(h: int, i: int, dtype) -> bool:
+def _chunk_cols_fwd(rows: int, h: int, i: int, itemsize: int) -> int:
+    """Column-chunk width for the I-grid forward (all rows resident)."""
+    for ic in (1024, 768, 512, 384, 256, 128):
+        if i % ic:
+            continue
+        working = (
+            rows * h * (3 * itemsize + 3 * 4)  # x const, y/z out, f_acc + LN
+            + 2 * h * ic * itemsize            # w1/w2 chunks (double-buffered ~2x)
+            + rows * ic * (4 + itemsize)       # u f32 + a cdt
+        )
+        if working <= _VMEM_BUDGET:
+            return ic
+    return 0
+
+
+def _chunk_cols_bwd(rows: int, h: int, i: int, itemsize: int) -> int:
+    """Column-chunk width for the I-grid backward (all rows resident)."""
+    for ic in (1024, 768, 512, 384, 256, 128):
+        if i % ic:
+            continue
+        working = (
+            rows * h * (4 * itemsize + 4 + 3 * 4)  # x/dy/dx/dd, z f32, dz+acc
+            + 2 * h * ic * itemsize                # w1/w2 chunks
+            + rows * ic * (3 * 4 + 2 * itemsize)   # u/da/du f32 + a/du exports
+        )
+        if working <= _VMEM_BUDGET:
+            return ic
+    return 0
+
+
+# All-rows-resident threshold: above this the I-grid strategy's row-resident
+# buffers outgrow VMEM and the row-grid strategy takes over. The flagship
+# TRAIN shapes (batch 16 x 32-token bucket = 512 rows) sit under it — the
+# point of the I-grid: 512-row MXU dots instead of the row-grid backward's
+# 32-row blocks (weights resident leaves <4 MB for rows at 768/3072 bf16,
+# and a 32-row dot uses a quarter of the MXU's row dimension).
+_COLS_MAX_ROWS = 640
+
+
+def _round8(x: int) -> int:
+    return _round_up(x, _SUBLANE)
+
+
+def supported_train(h: int, i: int, dtype, rows: int = 0) -> bool:
     if h % _LANE or i % _LANE:
         return False
     itemsize = jnp.dtype(dtype).itemsize
+    if rows and _round8(rows) <= _COLS_MAX_ROWS \
+            and _chunk_cols_fwd(_round8(rows), h, i, itemsize) > 0 \
+            and _chunk_cols_bwd(_round8(rows), h, i, itemsize) > 0:
+        return True
     return _block_rows_fwd(h, i, itemsize) > 0 and _block_rows_bwd(h, i, itemsize) > 0
 
 
@@ -225,6 +272,98 @@ def _bwd_kernel(refs, dx_ref, a_ref, du_ref, dd_ref, *,
     dd_ref[:] = dd_c
 
 
+def _fwd_cols_kernel(refs, o_ref, z_ref, f_acc, *,
+                     thresh, inv_keep, nchunks, hdim):
+    """I-grid forward: all rows resident, grid over intermediate chunks.
+    Same math and dropout stream as the row-grid kernel (f32 partial sums
+    over chunks equal one f32-accumulated dot up to summation order)."""
+    it = iter(refs)
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, bt_ref = (
+        next(it), next(it), next(it), next(it), next(it), next(it), next(it))
+    seed_ref = next(it) if thresh is not None else None
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        f_acc[...] = jnp.zeros_like(f_acc)
+
+    x = x_ref[:]
+    u = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    u = u + b1_ref[0:1, :].astype(jnp.float32)
+    g, _ = _gelu_parts(u)
+    a = g.astype(x.dtype)
+    f_acc[...] += jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(j == nchunks - 1)
+    def _finish():
+        f = (f_acc[...] + b2_ref[0:1, :].astype(jnp.float32))
+        f = f.astype(x.dtype).astype(jnp.float32)
+        if thresh is not None:
+            keep = _block_keep(seed_ref, 0, x.shape[0], hdim, thresh)
+            f = jnp.where(keep, f * inv_keep, 0.0)
+        z = x.astype(jnp.float32) + f
+        zhat, _ = _ln_stats(z)
+        o_ref[:] = (zhat * g_ref[0:1, :] + bt_ref[0:1, :]).astype(o_ref.dtype)
+        z_ref[:] = z
+
+
+def _bwd_cols_kernel(refs, dx_ref, a_ref, du_ref, dd_ref, dx_acc, *,
+                     thresh, inv_keep, nchunks, hdim):
+    """I-grid backward: all rows resident; the LN/dropout backward is
+    recomputed per chunk (cheap elementwise) while every dot runs at the
+    full row count."""
+    it = iter(refs)
+    x_ref, z_ref, dy_ref, w1_ref, b1_ref, w2_ref, g_ref = (
+        next(it), next(it), next(it), next(it), next(it), next(it), next(it))
+    seed_ref = next(it) if thresh is not None else None
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        dx_acc[...] = jnp.zeros_like(dx_acc)
+
+    x = x_ref[:]
+    z = z_ref[:]
+    dy = dy_ref[:].astype(jnp.float32)
+    zhat, rstd = _ln_stats(z)
+    gg = dy * g_ref[0:1, :]
+    dz = rstd * (
+        gg
+        - jnp.mean(gg, axis=-1, keepdims=True)
+        - zhat * jnp.mean(gg * zhat, axis=-1, keepdims=True)
+    )
+    if thresh is not None:
+        keep = _block_keep(seed_ref, 0, x.shape[0], hdim, thresh)
+        dd = jnp.where(keep, dz * inv_keep, 0.0)
+    else:
+        dd = dz
+    dd_c = dd.astype(x.dtype)
+
+    u = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    u = u + b1_ref[0:1, :].astype(jnp.float32)
+    g, gp = _gelu_parts(u)
+    da = jax.lax.dot_general(
+        dd_c, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    du = da * gp
+    du_c = du.astype(x.dtype)
+    dx_acc[...] += jax.lax.dot_general(
+        du_c, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    a_ref[:] = g.astype(a_ref.dtype)
+    du_ref[:] = du_c
+
+    @pl.when(j == 0)
+    def _dd():
+        dd_ref[:] = dd_c
+
+    @pl.when(j == nchunks - 1)
+    def _finish():
+        dx_ref[:] = (dz + dx_acc[...]).astype(dx_ref.dtype)
+
+
 # --- drivers -----------------------------------------------------------------
 
 
@@ -232,11 +371,126 @@ def _const_spec(a):
     return pl.BlockSpec(a.shape, lambda n: (0,) * a.ndim, memory_space=pltpu.VMEM)
 
 
+def _run_fwd_cols(x2d, w1, b1, w2, b2, gamma, beta, seeds, rate, ic):
+    rows, h = x2d.shape
+    i = w1.shape[1]
+    cdt = x2d.dtype
+    rows_p = _round8(rows)
+    if rows_p != rows:
+        x2d = jnp.pad(x2d, ((0, rows_p - rows), (0, 0)))
+    w1c, w2c = w1.astype(cdt), w2.astype(cdt)
+    thresh = keep_threshold(rate) if rate > 0.0 else None
+    operands = [
+        x2d, w1c, _replicate_bias(b1), w2c, _replicate_bias(b2),
+        _replicate_bias(gamma), _replicate_bias(beta),
+    ]
+    whole = pl.BlockSpec((rows_p, h), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        whole,
+        pl.BlockSpec((h, ic), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_SUBLANE, ic), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ic, h), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        _const_spec(operands[4]),
+        _const_spec(operands[5]),
+        _const_spec(operands[6]),
+    ]
+    if thresh is not None:
+        operands.append(seeds)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    y, z = pl.pallas_call(
+        functools.partial(
+            lambda *a, **kw: _fwd_cols_kernel(a[:-3], a[-3], a[-2], a[-1], **kw),
+            thresh=thresh,
+            inv_keep=1.0 / (1.0 - rate) if rate > 0.0 else 1.0,
+            nchunks=i // ic, hdim=h,
+        ),
+        grid=(i // ic,),
+        in_specs=in_specs,
+        out_specs=(whole, whole),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows_p, h), cdt),
+            jax.ShapeDtypeStruct((rows_p, h), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((rows_p, h), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows_p * h * i,
+            bytes_accessed=(2 * rows_p * h + 2 * h * i) * jnp.dtype(cdt).itemsize
+            + rows_p * h * 4,
+            transcendentals=rows_p * (i + h),
+        ),
+    )(*operands)
+    return (y[:rows], z[:rows]) if rows_p != rows else (y, z)
+
+
+def _run_bwd_cols(x2d, z, dy, w1, b1, w2, gamma, seeds, rate, ic):
+    rows, h = x2d.shape
+    i = w1.shape[1]
+    cdt = x2d.dtype
+    rows_p = _round8(rows)
+    if rows_p != rows:
+        pad = ((0, rows_p - rows), (0, 0))
+        x2d, z, dy = jnp.pad(x2d, pad), jnp.pad(z, pad), jnp.pad(dy, pad)
+    w1c, w2c = w1.astype(cdt), w2.astype(cdt)
+    thresh = keep_threshold(rate) if rate > 0.0 else None
+    operands = [
+        x2d, z, dy, w1c, _replicate_bias(b1), w2c, _replicate_bias(gamma),
+    ]
+    whole = pl.BlockSpec((rows_p, h), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    col_i = pl.BlockSpec((rows_p, ic), lambda j: (0, j), memory_space=pltpu.VMEM)
+    in_specs = [
+        whole, whole, whole,
+        pl.BlockSpec((h, ic), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_SUBLANE, ic), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ic, h), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        _const_spec(operands[6]),
+    ]
+    if thresh is not None:
+        operands.append(seeds)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    dx, a, du, dd = pl.pallas_call(
+        functools.partial(
+            lambda *a, **kw: _bwd_cols_kernel(
+                a[:-5], a[-5], a[-4], a[-3], a[-2], a[-1], **kw),
+            thresh=thresh,
+            inv_keep=1.0 / (1.0 - rate) if rate > 0.0 else 1.0,
+            nchunks=i // ic, hdim=h,
+        ),
+        grid=(i // ic,),
+        in_specs=in_specs,
+        out_specs=(whole, col_i, col_i, whole),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows_p, h), cdt),
+            jax.ShapeDtypeStruct((rows_p, i), cdt),
+            jax.ShapeDtypeStruct((rows_p, i), cdt),
+            jax.ShapeDtypeStruct((rows_p, h), cdt),
+        ),
+        scratch_shapes=[pltpu.VMEM((rows_p, h), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * rows_p * h * i,
+            bytes_accessed=(2 * h * i + 6 * rows_p * h + 2 * rows_p * i)
+            * jnp.dtype(cdt).itemsize + rows_p * h * 4,
+            transcendentals=rows_p * (i + h),
+        ),
+    )(*operands)
+    if rows_p != rows:
+        dx, a, du, dd = dx[:rows], a[:rows], du[:rows], dd[:rows]
+    return dx, a, du, dd
+
+
 def _run_fwd(x2d, w1, b1, w2, b2, gamma, beta, seeds, rate):
     rows, h = x2d.shape
     i = w1.shape[1]
     cdt = x2d.dtype
+    if _round8(rows) <= _COLS_MAX_ROWS:
+        ic = _chunk_cols_fwd(_round8(rows), h, i, jnp.dtype(cdt).itemsize)
+        if ic:
+            return _run_fwd_cols(x2d, w1, b1, w2, b2, gamma, beta, seeds,
+                                 rate, ic)
     br = _block_rows_fwd(h, i, jnp.dtype(cdt).itemsize)
+    if br == 0:
+        raise ValueError(
+            "fused_ffn_train: shapes exceed the VMEM budget — the "
+            "maybe_fused_ffn_train dispatch should have refused this call")
     rows_p = _round_up(rows, br)
     if rows_p != rows:
         x2d = jnp.pad(x2d, ((0, rows_p - rows), (0, 0)))
@@ -280,7 +534,16 @@ def _run_bwd(x2d, z, dy, w1, b1, w2, gamma, seeds, rate):
     rows, h = x2d.shape
     i = w1.shape[1]
     cdt = x2d.dtype
+    if _round8(rows) <= _COLS_MAX_ROWS:
+        ic = _chunk_cols_bwd(_round8(rows), h, i, jnp.dtype(cdt).itemsize)
+        if ic:
+            return _run_bwd_cols(x2d, z, dy, w1, b1, w2, gamma, seeds,
+                                 rate, ic)
     br = _block_rows_bwd(h, i, jnp.dtype(cdt).itemsize)
+    if br == 0:
+        raise ValueError(
+            "fused_ffn_train: shapes exceed the VMEM budget — the "
+            "maybe_fused_ffn_train dispatch should have refused this call")
     rows_p = _round_up(rows, br)
     if rows_p != rows:
         pad = ((0, rows_p - rows), (0, 0))

@@ -255,6 +255,26 @@ class Trainer:
         self.mesh = mesh if mesh is not None else build_mesh(
             self.tcfg.mesh_shape, self.tcfg.mesh_axis_names
         )
+        if self.mesh.shape.get("mp", 1) > 1 and (
+            getattr(model.cfg, "fused_ffn_training", False)
+            or getattr(model.cfg, "fused_attn_block_training", False)
+        ):
+            # tensor-parallel training shards the layer weights over mp; the
+            # fused TRAINING Pallas kernels expect whole (replicated) weight
+            # operands, so the partitioner would all-gather them every step —
+            # keep the unfused XLA path, which shards cleanly (same rule as
+            # ServingModel's fused-kernel handling under a tp mesh).
+            import dataclasses
+
+            from multimodal_classification_tpu.models.vilbert import (
+                ViLBERTForClassification,
+            )
+
+            if isinstance(model, ViLBERTForClassification):
+                self.model = model = ViLBERTForClassification(
+                    dataclasses.replace(
+                        model.cfg, fused_ffn_training=False,
+                        fused_attn_block_training=False))
         self.tracker = tracker or NullTracker()
         self.ckpt = CheckpointManager(
             checkpoint_dir or self.tcfg.checkpoint_dir, keep=self.tcfg.keep_checkpoints

@@ -218,3 +218,65 @@ class TestModelWiring:
         assert ffn_leaves
         for path, leaf in ffn_leaves:
             assert np.abs(np.asarray(leaf)).max() > 0, jax.tree_util.keystr(path)
+
+
+class TestStrategies:
+    """Both layout strategies must agree with the twin: the I-grid (cols)
+    path covers small-row training shapes; the row-grid path covers large
+    row counts. Shrinking the VMEM budget forces multi-chunk / small-block
+    layouts so the grid-carried accumulators and @pl.when writes are
+    exercised with more than one grid step."""
+
+    def test_cols_multichunk_forward_and_grads(self, rng, monkeypatch):
+        monkeypatch.setattr(fk, "_VMEM_BUDGET", 400 * 1024)
+        ic_f = fk._chunk_cols_fwd(32, 128, 256, 4)
+        ic_b = fk._chunk_cols_bwd(32, 128, 256, 4)
+        assert 0 < ic_f < 256 and 0 < ic_b < 256  # really multi-chunk
+        args = _mk(rng, 30, 128, 256)
+        key = jax.random.PRNGKey(9)
+        seeds = _seeds(key)
+        got = fk.fused_ffn_block_train(*args, dropout_rate=0.3, dropout_rng=key)
+        want = fk.ffn_block_reference(*args, 0.3, seeds)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-5, atol=3e-5)
+
+        def loss_k(*a):
+            return jnp.sum(
+                fk.fused_ffn_block_train(*a, dropout_rate=0.3, dropout_rng=key) ** 2)
+
+        def loss_r(*a):
+            return jnp.sum(fk.ffn_block_reference(*a, 0.3, seeds) ** 2)
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 3, 5))(*args)
+        gr = jax.grad(loss_r, argnums=(0, 1, 3, 5))(*args)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
+
+    def test_rows_path_above_threshold(self, rng, monkeypatch):
+        # more rows than _COLS_MAX_ROWS → the row-grid strategy runs
+        monkeypatch.setattr(fk, "_COLS_MAX_ROWS", 64)
+        args = _mk(rng, 96, 128, 128)
+        got = fk.fused_ffn_block_train(*args, dropout_rate=0.0)
+        want = fk.ffn_block_reference(*args, 0.0, jnp.zeros((2,), jnp.uint32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss_k(*a):
+            return jnp.sum(fk.fused_ffn_block_train(*a, dropout_rate=0.0) ** 2)
+
+        def loss_r(*a):
+            return jnp.sum(
+                fk.ffn_block_reference(*a, 0.0, jnp.zeros((2,), jnp.uint32)) ** 2)
+
+        gk = jax.grad(loss_k, argnums=(0, 1))(*args)
+        gr = jax.grad(loss_r, argnums=(0, 1))(*args)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
+
+    def test_flagship_shapes_take_cols(self):
+        # batch16 x 32 tokens = 512 rows, text FFN 768/3072 bf16
+        assert fk._chunk_cols_fwd(512, 768, 3072, 2) > 0
+        assert fk._chunk_cols_bwd(512, 768, 3072, 2) > 0
+        assert fk.supported_train(768, 3072, jnp.bfloat16, rows=512)
