@@ -219,6 +219,13 @@ def setup(k: int = 10, stacked: bool | None = None):
     # text-length bucket: meme texts are ~12-25 tokens; attention over padded
     # keys is masked, so slicing to the real max length computes the SAME
     # function as the reference's always-128 padding, minus the padding FLOPs
+    # progress line BEFORE the first tiny compiled op: on bad relay days a
+    # single cached-executable load can stall for minutes (measured 10.15/
+    # 10.41 this round: >240 s at exactly this point), and every line of
+    # output resets the parent's stall timer — silence must mean "hung",
+    # not "one slow load between prints"
+    print("computing text bucket (first compiled op: relay executable "
+          "load)...", file=sys.stderr, flush=True)
     bucket = data.seq_bucket(32)
     print(f"text bucket: {bucket} of {SEQ_LEN} tokens", file=sys.stderr,
           flush=True)
@@ -227,7 +234,9 @@ def setup(k: int = 10, stacked: bool | None = None):
     first = {**first, "input_ids": first["input_ids"][:, :bucket],
              "attention_mask": first["attention_mask"][:, :bucket],
              "token_type_ids": first["token_type_ids"][:, :bucket]}
+    print("initializing params on device...", file=sys.stderr, flush=True)
     params = model.init(jax.random.key(0), **model_inputs(first))["params"]
+    print("params initialized", file=sys.stderr, flush=True)
     state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
     # K steps per dispatch: lax.scan over an index matrix (amortises host
     # dispatch latency; the whole epoch is one compiled call)
@@ -399,7 +408,7 @@ def _spawn(stage: str, timeout: float, deadline: float):
     # burning the whole stage timeout. 240 s covers the slowest warm-cache
     # phase observed (93 s compile+warmup) with 2.5× margin; a truly cold
     # compile can exceed it, which is what the stacked fallback is for.
-    stall_s = float(os.environ.get("BENCH_STALL", "240"))
+    stall_s = float(os.environ.get("BENCH_STALL", "300"))
     last_out = time.monotonic()
     import selectors
 
