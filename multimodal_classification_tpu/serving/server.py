@@ -409,7 +409,7 @@ class ServingModel:
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def _predict_cached(self, texts: Sequence[str],
-                        instances: Sequence[Dict[str, Any]]) -> np.ndarray:
+                        instances: Sequence[Dict[str, Any]]):
         """Id-only fast path: ship token arrays + one int32 row index per
         instance; the feature gather runs on device from the resident cache."""
         n = len(texts)
@@ -440,13 +440,17 @@ class ServingModel:
                                        tokens, idx)
         else:
             logits = self._cached_step(self.params, cf, cs, cm, tokens, idx)
-        return np.asarray(logits)[:n]
+        return logits
 
-    def predict(self, texts: Sequence[str],
-                instances: Optional[Sequence[Dict[str, Any]]] = None) -> np.ndarray:
+    def predict_async(self, texts: Sequence[str],
+                      instances: Optional[Sequence[Dict[str, Any]]] = None):
+        """Dispatch one compiled batch and return an opaque handle WITHOUT
+        blocking on the device result (jax dispatch is async): the host work
+        here (tokenize, pad, upload) overlaps the device compute of the
+        previously dispatched batch. Resolve with :meth:`finish`."""
         n = len(texts)
         if n == 0:
-            return np.zeros((0, 2), np.float32)
+            return None, 0
         if n > self.batch_size:
             raise ValueError(f"batch of {n} exceeds compiled size {self.batch_size}")
         if (self._cache is not None and instances is not None
@@ -459,17 +463,36 @@ class ServingModel:
                 logits = self._step(self.params, self._quant, batch)
             else:
                 logits = self._step(self.params, batch)
-            logits = np.asarray(logits)[:n]
+        return logits, n
+
+    def finish(self, handle) -> np.ndarray:
+        """Block on a :meth:`predict_async` handle → probabilities [n, 2]."""
+        logits, n = handle
+        if logits is None:
+            return np.zeros((0, 2), np.float32)
+        logits = np.asarray(logits)[:n]
         z = logits - logits.max(-1, keepdims=True)
         p = np.exp(z)
         return (p / p.sum(-1, keepdims=True)).astype(np.float32)
 
+    def predict(self, texts: Sequence[str],
+                instances: Optional[Sequence[Dict[str, Any]]] = None) -> np.ndarray:
+        return self.finish(self.predict_async(texts, instances))
+
 
 class _MicroBatcher:
     """Collect requests for up to ``linger_ms`` (or until the compiled batch
-    is full) and resolve them with one model dispatch."""
+    is full) and resolve them with one model dispatch.
 
-    def __init__(self, serving: ServingModel, linger_ms: float = 5.0):
+    Dispatch is PIPELINED: the collector thread tokenizes/pads/dispatches
+    (jax dispatch is async) and hands the in-flight device result to a
+    completion thread that blocks on it and resolves the futures — so batch
+    N+1's host work and upload overlap batch N's device compute + result
+    roundtrip. ``pipeline_depth`` bounds the number of in-flight dispatches
+    (the queue put blocks when full, which is the backpressure)."""
+
+    def __init__(self, serving: ServingModel, linger_ms: float = 5.0,
+                 pipeline_depth: int = 2):
         self.serving = serving
         self.linger_s = linger_ms / 1000.0
         self.q: "queue.Queue" = queue.Queue()
@@ -477,9 +500,13 @@ class _MicroBatcher:
         # ring buffer of recent request latencies (enqueue → result), seconds
         self._lat = [0.0] * 1024
         self._lat_n = 0
+        self._pending: "queue.Queue" = queue.Queue(
+            maxsize=max(1, int(pipeline_depth)))
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
+        self._completer = threading.Thread(target=self._complete, daemon=True)
         self._thread.start()
+        self._completer.start()
 
     def submit(self, instance: Dict[str, Any]) -> Future:
         fut: Future = Future()
@@ -505,6 +532,7 @@ class _MicroBatcher:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        self._completer.join(timeout=5)
 
     def _run(self):
         while not self._stop.is_set():
@@ -513,12 +541,26 @@ class _MicroBatcher:
             except queue.Empty:
                 continue
             items = [first]
-            self._stop.wait(self.linger_s)  # linger for co-arriving requests
-            while len(items) < self.serving.batch_size:
+            deadline = time.perf_counter() + self.linger_s
+            while (len(items) < self.serving.batch_size
+                   and not self._stop.is_set()):
                 try:
                     items.append(self.q.get_nowait())
+                    continue
                 except queue.Empty:
+                    pass
+                # linger for co-arriving requests; after the linger expires,
+                # dispatch ahead only when the pipeline is IDLE — if a batch
+                # is already in flight, keep collecting until it completes:
+                # a tiny batch dispatched behind it would only pay the fixed
+                # per-dispatch cost (~29 ms roundtrip on this link) again,
+                # while every request collected here rides one program free
+                # (measured: eager depth-2 dispatch gave mean batch 6.6 and
+                # 211 rps where collect-while-busy gives ~15 and ~290)
+                if (time.perf_counter() >= deadline
+                        and self._pending.unfinished_tasks == 0):
                     break
+                self._stop.wait(0.0005)
             self.stats["requests"] += len(items)
             texts = [str(i.get("text", "")) for i, _, _ in items]
             # length-grouped dispatch: each seq bucket gets its own batch so
@@ -531,18 +573,42 @@ class _MicroBatcher:
                 self.stats["batches"] += 1
                 self.stats["max_batch"] = max(self.stats["max_batch"], len(idx))
                 try:
-                    probs = self.serving.predict([texts[i] for i in idx], insts)
-                    for f, p, t0 in zip(futs, probs, enq_ts):
-                        f.set_result({
-                            "probability": float(p[1]),
-                            "prediction": int(np.argmax(p)),
-                        })
-                        self._record_latency(t0)
+                    handle = self.serving.predict_async(
+                        [texts[i] for i in idx], insts)
                 except Exception as e:  # pragma: no cover - surfaced to client
-                    logger.exception("batch failed")
+                    logger.exception("batch dispatch failed")
                     for f in futs:
                         if not f.done():
                             f.set_exception(e)
+                    continue
+                # blocks when pipeline_depth dispatches are in flight
+                self._pending.put((handle, futs, enq_ts))
+
+    def _complete(self):
+        while True:
+            try:
+                handle, futs, enq_ts = self._pending.get(timeout=0.1)
+            except queue.Empty:
+                if self._stop.is_set() and not self._thread.is_alive():
+                    return
+                continue
+            try:
+                probs = self.serving.finish(handle)
+                for f, p, t0 in zip(futs, probs, enq_ts):
+                    f.set_result({
+                        "probability": float(p[1]),
+                        "prediction": int(np.argmax(p)),
+                    })
+                    self._record_latency(t0)
+            except Exception as e:  # pragma: no cover - surfaced to client
+                logger.exception("batch failed")
+                for f in futs:
+                    if not f.done():
+                        f.set_exception(e)
+            finally:
+                # collectors poll unfinished_tasks to decide whether the
+                # device is busy (put increments it, this decrements)
+                self._pending.task_done()
 
 
 class InferenceServer:

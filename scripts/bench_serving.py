@@ -79,6 +79,12 @@ def main() -> int:
     model_lyr = ViLBERTForClassification(
         _dc.replace(cfg, fused_ffn=True, fused_attn_block=True,
                     fused_co_attn=True, fused_text_layer=True))
+    # "lyr8nc": whole-text-layer fusion WITHOUT the co-attention fusion —
+    # isolates the co-attn kernel's contribution at the current record
+    # config (the auto-policy re-validation grid, VERDICT r3 #6)
+    model_lyr_nc = ViLBERTForClassification(
+        _dc.replace(cfg, fused_ffn=True, fused_attn_block=True,
+                    fused_co_attn=False, fused_text_layer=True))
     from multimodal_classification_tpu.utils.xla_options import (
         compiler_options_from_env,
     )
@@ -95,6 +101,8 @@ def main() -> int:
     coa_step = jax.jit(make_eval_step(model_coa), compiler_options=copts)
     quant_coa_step = jax.jit(make_quant_eval_step(model_coa), compiler_options=copts)
     quant_lyr_step = jax.jit(make_quant_eval_step(model_lyr), compiler_options=copts)
+    quant_lyr_nc_step = jax.jit(make_quant_eval_step(model_lyr_nc),
+                                compiler_options=copts)
 
     batches = tuple(
         int(b) for b in os.environ.get("SERVING_BATCHES", "1,16,64").split(",")
@@ -134,6 +142,7 @@ def main() -> int:
             "coa": lambda b: coa_step(params, model_inputs(b)),
             "coa8": lambda b: quant_coa_step(params, quant, model_inputs(b)),
             "lyr8": lambda b: quant_lyr_step(params, quant, model_inputs(b)),
+            "lyr8nc": lambda b: quant_lyr_nc_step(params, quant, model_inputs(b)),
         }
         for name, step in ((p, steps[p]) for p in paths):
             for _ in range(3):

@@ -204,14 +204,14 @@ def test_microbatcher_groups_mixed_lengths_by_bucket(serving):
                       num_regions=6, feature_dim=32, batch_size=4,
                       seq_buckets=(8,))
     seen_seqs = []
-    orig = sb.predict
+    orig = sb.predict_async  # the pipelined batcher dispatches through this
 
     def spy(texts, instances=None):
         ids, mask, _ = tok.encode_batch(list(texts), sb.max_seq_length)
         seen_seqs.append(sb._pick_bucket(int(mask.sum(-1).max())))
         return orig(texts, instances)
 
-    sb.predict = spy
+    sb.predict_async = spy
     server = InferenceServer(sb, port=0, linger_ms=300.0)
     server.start()
     try:
