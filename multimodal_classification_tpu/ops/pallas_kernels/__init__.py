@@ -187,9 +187,10 @@ def maybe_fused_attn_block_train(
 ) -> Optional[Callable[[], jnp.ndarray]]:
     """TRAINING twin of :func:`maybe_fused_attn_block`: whole post-LN
     attention sub-block with in-kernel counter-hash dropouts in one Pallas
-    forward and a fused Pallas backward + four XLA weight-gradient matmuls
-    (custom_vjp). None → unfused XLA path (wrong platform, unsupported
-    shapes — the 1024-d visual stream — or dropout without an rng)."""
+    forward and a fused Pallas backward (single-pass for 768-d text, two-
+    pass split for the 1024-d visual stream) + four XLA weight-gradient
+    matmuls (custom_vjp). None → unfused XLA path (wrong platform,
+    unsupported shapes, or dropout without an rng)."""
     if not on_tpu():
         return None
     if (rate_attn > 0.0 or rate_hidden > 0.0) and dropout_rng is None:

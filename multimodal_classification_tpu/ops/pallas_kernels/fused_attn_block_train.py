@@ -40,14 +40,20 @@ Backward math (f32 in-kernel; the standard attention VJP):
 Grid: one program per block of ``bb`` whole (row-padded) batch items, like
 the eval kernel; attention is block-diagonal over items. The layout picker
 sizes ONE (s_p, bb) for forward and backward together (the saved pre-LN
-residual z must pad identically both ways). Text layers (768-d) fit; the
-visual 1024-d stream exceeds the backward's VMEM budget at any legal block
-and keeps the unfused XLA path (``supported_train``).
+residual z must pad identically both ways). Text layers (768-d) use the
+single-pass backward; the visual 1024-d stream — whose single-pass working
+set exceeds VMEM at any legal block (4 weight matrices alone are 8.4 MB
+bf16) — uses a TWO-PASS backward (round 4): pass A (wo resident) runs
+LN + output-dropout + out-projection backward and exports f32 dz/dctx;
+pass B (wq/wk/wv resident) recomputes the attention and runs its VJP. The
+f32 stitches make the split bit-identical to the single-pass kernel
+(tested); the extra export traffic is ~3 HBM rows/layer ≈ microseconds.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -77,10 +83,17 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_layout_train(seq: int, hidden: int, itemsize: int):
-    """One (s_p, bb) sized for the LARGER of the fwd/bwd working sets (the
-    saved residual z must pad identically in both kernels). Prefers the
-    smallest per-item padding, then the largest block. (0, 0) → unsupported."""
+    """One (s_p, bb, split) sized for the LARGER of the fwd/bwd working sets
+    (the saved residual z must pad identically in both kernels). Prefers the
+    smallest per-item padding, then the largest block, then the single-pass
+    backward. When the single-pass backward doesn't fit at any legal block
+    (the 1024-d visual stream: 4 weight matrices alone are 8.4 MB bf16) but
+    the TWO-PASS backward does — pass A: LN + output-projection backward
+    (wo resident), pass B: attention VJP + dx (wq/wk/wv resident), stitched
+    by f32 dz/dctx exports whose traffic is negligible — return split=True.
+    (0, 0, False) → unsupported."""
     weights = 4 * hidden * hidden * itemsize
+    best_split = None
     for mult in (16, 32, 64, 128):
         s_p = _round_up(seq, mult)
         for bb in (16, 8, 4, 2, 1):
@@ -93,9 +106,20 @@ def _pick_layout_train(seq: int, hidden: int, itemsize: int):
             bwd = (weights
                    + r * hidden * (14 * itemsize + 24)  # ins/outs + f32 temps
                    + 5 * r * r * 4)                     # per-head bwd tiles
-            if max(fwd, bwd) <= _VMEM_BUDGET:
-                return s_p, bb
-    return 0, 0
+            if fwd > _VMEM_BUDGET:
+                continue
+            if bwd <= _VMEM_BUDGET:
+                return s_p, bb, False
+            if os.environ.get("MMC_ATTN_TRAIN_NO_SPLIT") == "1":
+                continue  # A/B knob: refuse split layouts (text-only fusion)
+            bwd_a = (hidden * hidden * itemsize          # wo
+                     + r * hidden * (20 + 2 * itemsize))  # z/dy in, dz/dd/dctx out + temps
+            bwd_b = (3 * hidden * hidden * itemsize      # wq/wk/wv
+                     + r * hidden * (12 + 9 * itemsize)  # x/dz/dctx in, 5 outs, qkv temps
+                     + 5 * r * r * 4)
+            if max(bwd_a, bwd_b) <= _VMEM_BUDGET and best_split is None:
+                best_split = (s_p, bb, True)
+    return best_split if best_split is not None else (0, 0, False)
 
 
 def supported_train(batch: int, seq: int, hidden: int, num_heads: int,
@@ -376,6 +400,152 @@ def _train_bwd_kernel(refs, dx_ref, dq_ref, dk_ref, dv_ref, dd_ref, ctx_ref,
     ctx_ref[:] = ctx
 
 
+def _train_bwd_ln_out_kernel(refs, dz_ref, dd_ref, dctx_ref, *, s_p, bb,
+                             th, inv_h):
+    """Split backward, pass A: LayerNorm + output-dropout + output-projection
+    backward. Exports dz/dctx in f32 — bit-identical to the single-pass
+    kernel's internal values (which also carries them in f32)."""
+    it = iter(refs)
+    z_ref, dy_ref = next(it), next(it)
+    wo_ref, g_ref = next(it), next(it)
+    seed_ref = next(it) if th is not None else None
+
+    cdt = dy_ref.dtype
+    z = z_ref[:]
+    dy = dy_ref[:].astype(jnp.float32)
+    r = z.shape[0]
+    hd = z.shape[1]
+    n = pl.program_id(0)
+
+    zhat, rstd = _ln_stats(z)
+    gg = dy * g_ref[0:1, :]
+    dz = rstd * (
+        gg
+        - jnp.mean(gg, axis=-1, keepdims=True)
+        - zhat * jnp.mean(gg * zhat, axis=-1, keepdims=True)
+    )
+    if th is not None:
+        item_u, qpos_u = _coords(n, bb, s_p, r)
+        cols = jax.lax.broadcasted_iota(jnp.uint32, (r, hd), 1)
+        keep = _hidden_keep(seed_ref[2], seed_ref[3], item_u, qpos_u, cols, th)
+        dd = jnp.where(keep, dz * inv_h, 0.0)
+    else:
+        dd = dz
+    dd_c = dd.astype(cdt)
+    dctx = jax.lax.dot_general(
+        dd_c, wo_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dz_ref[:] = dz
+    dd_ref[:] = dd_c
+    dctx_ref[:] = dctx
+
+
+def _train_bwd_attn_kernel(refs, dx_ref, dq_ref, dk_ref, dv_ref, ctx_ref,
+                           *, s_p, bb, num_heads, ta, inv_a):
+    """Split backward, pass B: recompute q/k/v + the per-head attention VJP
+    from the pass-A dctx, and combine dx = dz + dq Wqᵀ + dk Wkᵀ + dv Wvᵀ.
+    Same op/dtype sequence as the single-pass kernel."""
+    it = iter(refs)
+    x_ref, dz_ref, dctx_ref, bias_ref = next(it), next(it), next(it), next(it)
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref = (
+        next(it), next(it), next(it), next(it), next(it), next(it))
+    seed_ref = next(it) if ta is not None else None
+
+    cdt = x_ref.dtype
+    x = x_ref[:]
+    dctx = dctx_ref[:]
+    r = x.shape[0]
+    hd = x.shape[1]
+    d = hd // num_heads
+    scale = 1.0 / (d ** 0.5)
+    n = pl.program_id(0)
+
+    def dense(xx, w_ref, b_ref_):
+        y = jnp.dot(xx, w_ref[:], preferred_element_type=jnp.float32)
+        return y.astype(cdt) + b_ref_[0:1, :].astype(cdt)
+
+    q = dense(x, wq_ref, bq_ref)
+    k = dense(x, wk_ref, bk_ref)
+    v = dense(x, wv_ref, bv_ref)
+    item_row = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0) // s_p
+    item_col = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1) // s_p
+    cross = jnp.where(item_row == item_col, 0.0, NEG_INF).astype(jnp.float32)
+    add = cross + bias_ref[0:1, :].astype(jnp.float32)
+    if ta is not None:
+        item_u, qpos_u = _coords(n, bb, s_p, r)
+        kpos_row = (jax.lax.broadcasted_iota(jnp.uint32, (1, r), 1)
+                    % jnp.uint32(s_p))
+
+    ctx_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
+    for h in range(num_heads):
+        qh = q[:, h * d:(h + 1) * d]
+        kh = k[:, h * d:(h + 1) * d]
+        vh = v[:, h * d:(h + 1) * d]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale + add
+        p = jax.nn.softmax(s, axis=-1)
+        if ta is not None:
+            keep = _attn_keep(seed_ref[0], seed_ref[1], item_u, h,
+                              qpos_u, kpos_row, ta, num_heads)
+            pd = jnp.where(keep, p * inv_a, 0.0)
+        else:
+            pd = p
+        pd_c = pd.astype(cdt)
+        dctx_h = dctx[:, h * d:(h + 1) * d].astype(cdt)
+        ctx_parts.append(
+            jax.lax.dot_general(
+                pd_c, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
+        )
+        dv_parts.append(
+            jax.lax.dot_general(
+                pd_c, dctx_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
+        )
+        dpd = jax.lax.dot_general(
+            dctx_h, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if ta is not None:
+            dp = jnp.where(keep, dpd * inv_a, 0.0)
+        else:
+            dp = dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds_c = ds.astype(cdt)
+        dq_parts.append(
+            (jax.lax.dot_general(
+                ds_c, kh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale).astype(cdt)
+        )
+        dk_parts.append(
+            (jax.lax.dot_general(
+                ds_c, qh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale).astype(cdt)
+        )
+    ctx = jnp.concatenate(ctx_parts, axis=1)
+    dq = jnp.concatenate(dq_parts, axis=1)
+    dk = jnp.concatenate(dk_parts, axis=1)
+    dv = jnp.concatenate(dv_parts, axis=1)
+
+    dx = dz_ref[:]
+    for dgrad, w_ref in ((dq, wq_ref), (dk, wk_ref), (dv, wv_ref)):
+        dx = dx + jax.lax.dot_general(
+            dgrad, w_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dx_ref[:] = dx.astype(cdt)
+    dq_ref[:] = dq
+    dk_ref[:] = dk
+    dv_ref[:] = dv
+    ctx_ref[:] = ctx
+
+
 # --- drivers -----------------------------------------------------------------
 
 
@@ -477,11 +647,84 @@ def _run_bwd(num_heads, s_p, bb, rate_attn, rate_hidden,
     return outs  # dx, dq, dk, dv, dd, ctx
 
 
+def _run_bwd_split(num_heads, s_p, bb, rate_attn, rate_hidden,
+                   x2, z, dy, bias_rep, wq, bq, wk, bk, wv, bv, wo, gamma,
+                   seeds):
+    """Two-pass backward for shapes whose single-pass working set exceeds
+    VMEM (the 1024-d visual stream). Pass A (wo resident) → dz/dd/dctx;
+    pass B (wq/wk/wv resident) → attention VJP + dx. The f32 dz/dctx
+    exports make the passes bit-identical to the single-pass kernel."""
+    rows, hd = x2.shape
+    cdt = x2.dtype
+    r = bb * s_p
+    ta, inv_a, th, inv_h = _thresholds(rate_attn, rate_hidden)
+    row = pl.BlockSpec((r, hd), lambda n: (n, 0), memory_space=pltpu.VMEM)
+    row_f32 = pl.BlockSpec((r, hd), lambda n: (n, 0), memory_space=pltpu.VMEM)
+
+    ops_a = [z, dy, wo.astype(cdt), _replicate(gamma)]
+    specs_a = [row_f32, row, _const_spec(ops_a[2]), _const_spec(ops_a[3])]
+    if th is not None:
+        ops_a.append(seeds)
+        specs_a.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    dz, dd, dctx = pl.pallas_call(
+        functools.partial(
+            lambda *a, **kw: _train_bwd_ln_out_kernel(
+                a[:-3], a[-3], a[-2], a[-1], **kw),
+            s_p=s_p, bb=bb, th=th, inv_h=inv_h,
+        ),
+        grid=(rows // r,),
+        in_specs=specs_a,
+        out_specs=(row_f32, row, row_f32),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, hd), jnp.float32),
+            jax.ShapeDtypeStruct((rows, hd), cdt),
+            jax.ShapeDtypeStruct((rows, hd), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * hd * hd,
+            bytes_accessed=rows * hd * (12 + 3 * jnp.dtype(cdt).itemsize)
+            + hd * hd * jnp.dtype(cdt).itemsize,
+            transcendentals=0,
+        ),
+    )(*ops_a)
+
+    ops_b = [
+        x2, dz, dctx, bias_rep,
+        wq.astype(cdt), _replicate(bq), wk.astype(cdt), _replicate(bk),
+        wv.astype(cdt), _replicate(bv),
+    ]
+    specs_b = [
+        row, row_f32, row_f32,
+        pl.BlockSpec((_SUBLANE, r), lambda n: (0, n), memory_space=pltpu.VMEM),
+    ] + [_const_spec(a) for a in ops_b[4:]]
+    if ta is not None:
+        ops_b.append(seeds)
+        specs_b.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    dx, dq, dk, dv, ctx = pl.pallas_call(
+        functools.partial(
+            lambda *a, **kw: _train_bwd_attn_kernel(
+                a[:-5], a[-5], a[-4], a[-3], a[-2], a[-1], **kw),
+            s_p=s_p, bb=bb, num_heads=num_heads, ta=ta, inv_a=inv_a,
+        ),
+        grid=(rows // r,),
+        in_specs=specs_b,
+        out_specs=(row,) * 5,
+        out_shape=tuple(jax.ShapeDtypeStruct((rows, hd), cdt) for _ in range(5)),
+        cost_estimate=pl.CostEstimate(
+            flops=18 * rows * hd * hd + 16 * rows * r * hd,
+            bytes_accessed=rows * hd * (16 + 8 * jnp.dtype(cdt).itemsize)
+            + 3 * hd * hd * jnp.dtype(cdt).itemsize,
+            transcendentals=rows * r,
+        ),
+    )(*ops_b)
+    return dx, dq, dk, dv, dd, ctx
+
+
 # --- custom_vjp entry ---------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _block(num_heads, s_p, bb, rate_attn, rate_hidden,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _block(num_heads, s_p, bb, split, rate_attn, rate_hidden,
            x2, bias_rep, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, seeds):
     y, _ = _run_fwd(num_heads, s_p, bb, rate_attn, rate_hidden,
                     x2, bias_rep, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta,
@@ -489,7 +732,7 @@ def _block(num_heads, s_p, bb, rate_attn, rate_hidden,
     return y
 
 
-def _block_fwd(num_heads, s_p, bb, rate_attn, rate_hidden,
+def _block_fwd(num_heads, s_p, bb, split, rate_attn, rate_hidden,
                x2, bias_rep, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta,
                seeds):
     y, z = _run_fwd(num_heads, s_p, bb, rate_attn, rate_hidden,
@@ -498,9 +741,10 @@ def _block_fwd(num_heads, s_p, bb, rate_attn, rate_hidden,
     return y, (x2, bias_rep, wq, bq, wk, bk, wv, bv, wo, gamma, seeds, z)
 
 
-def _block_bwd(num_heads, s_p, bb, rate_attn, rate_hidden, res, g):
+def _block_bwd(num_heads, s_p, bb, split, rate_attn, rate_hidden, res, g):
     x2, bias_rep, wq, bq, wk, bk, wv, bv, wo, gamma, seeds, z = res
-    dx, dq, dk, dv, dd, ctx = _run_bwd(
+    run = _run_bwd_split if split else _run_bwd
+    dx, dq, dk, dv, dd, ctx = run(
         num_heads, s_p, bb, rate_attn, rate_hidden,
         x2, z, g, bias_rep, wq, bq, wk, bk, wv, bv, wo, gamma, seeds,
     )
@@ -547,14 +791,15 @@ def fused_attn_block_train(x3, key_bias, wq, bq, wk, bk, wv, bv, wo, bo,
     else:
         seeds = jnp.zeros((4,), jnp.uint32)
     b, s, hd = x3.shape
-    s_p, bb = _pick_layout_train(s, hd, jnp.dtype(x3.dtype).itemsize)
+    s_p, bb, split = _pick_layout_train(s, hd, jnp.dtype(x3.dtype).itemsize)
     x3p, key_bias_p, b_p = _pad_items(x3, key_bias, bb, s_p)
     x2 = x3p.reshape(b_p * s_p, hd)
     bias_rep = jnp.broadcast_to(
         key_bias_p.reshape(1, b_p * s_p).astype(jnp.float32),
         (_SUBLANE, b_p * s_p),
     )
-    y = _block(num_heads, s_p, bb, float(rate_attn), float(rate_hidden),
+    y = _block(num_heads, s_p, bb, split, float(rate_attn),
+               float(rate_hidden),
                x2, bias_rep, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta,
                seeds)
     return y.reshape(b_p, s_p, hd)[:b, :s]

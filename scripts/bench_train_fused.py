@@ -27,10 +27,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANT_ENVS = {
-    "base": {"BENCH_FFN_TRAIN": "0", "BENCH_ATTN_TRAIN": "0"},
-    "ffn": {"BENCH_FFN_TRAIN": "1", "BENCH_ATTN_TRAIN": "0"},
-    "attn": {"BENCH_FFN_TRAIN": "0", "BENCH_ATTN_TRAIN": "1"},
-    "both": {"BENCH_FFN_TRAIN": "1", "BENCH_ATTN_TRAIN": "1"},
+    "base": {"BENCH_FFN_TRAIN": "0", "BENCH_ATTN_TRAIN": "0",
+             "MMC_ATTN_TRAIN_NO_SPLIT": "0"},
+    "ffn": {"BENCH_FFN_TRAIN": "1", "BENCH_ATTN_TRAIN": "0",
+            "MMC_ATTN_TRAIN_NO_SPLIT": "0"},
+    # attn = text (single-pass bwd) + visual (two-pass split bwd) layers
+    "attn": {"BENCH_FFN_TRAIN": "0", "BENCH_ATTN_TRAIN": "1",
+             "MMC_ATTN_TRAIN_NO_SPLIT": "0"},
+    # attn_text = round-4 session-1 configuration (visual refused) — the
+    # measured-win baseline the split-bwd extension must beat
+    "attn_text": {"BENCH_FFN_TRAIN": "0", "BENCH_ATTN_TRAIN": "1",
+                  "MMC_ATTN_TRAIN_NO_SPLIT": "1"},
+    "both": {"BENCH_FFN_TRAIN": "1", "BENCH_ATTN_TRAIN": "1",
+             "MMC_ATTN_TRAIN_NO_SPLIT": "0"},
 }
 
 

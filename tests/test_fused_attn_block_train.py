@@ -121,8 +121,76 @@ class TestBackward:
 
     def test_supported_gates(self):
         assert fk.supported_train(16, 32, 768, 12, jnp.bfloat16)   # text layer
-        assert not fk.supported_train(16, 112, 1024, 8, jnp.bfloat16)  # visual
+        # visual 1024-d: single-pass bwd exceeds VMEM → the TWO-PASS split
+        # backward carries it (round 4)
+        assert fk.supported_train(16, 112, 1024, 8, jnp.bfloat16)
+        assert fk._pick_layout_train(112, 1024, 2)[2] is True
+        # text keeps its measured single-pass layout
+        assert fk._pick_layout_train(32, 768, 2)[2] is False
         assert not fk.supported_train(16, 32, 700, 10, jnp.bfloat16)   # misaligned
+
+
+class TestSplitBackward:
+    """The two-pass backward (pass A: LN+out, pass B: attention VJP) must be
+    bit-identical to the single-pass kernel — they run the same op/dtype
+    sequence stitched by f32 dz/dctx exports."""
+
+    @pytest.mark.parametrize("rates", [(0.0, 0.0), (0.2, 0.25)])
+    def test_split_equals_single_pass(self, rng, rates):
+        ra, rh = rates
+        b, s, h, heads = 4, 16, 128, 2
+        args = _mk(rng, b, s, h)
+        x3, key_bias, wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta = args
+        key = jax.random.PRNGKey(7)
+        seeds = _seeds(key) if (ra or rh) else jnp.zeros((4,), jnp.uint32)
+        s_p, bb, split = fk._pick_layout_train(s, h, 4)
+        assert not split
+        x2 = x3.reshape(b * s, h)
+        bias_rep = jnp.broadcast_to(
+            key_bias.reshape(1, b * s), (8, b * s)).astype(jnp.float32)
+        _, z = fk._run_fwd(heads, s_p, bb, ra, rh, x2, bias_rep,
+                           wq, bq, wk, bk, wv, bv, wo, bo, gamma, beta, seeds)
+        dy = jnp.asarray(
+            np.random.default_rng(3).standard_normal((b * s, h)),
+            jnp.float32)
+        single = fk._run_bwd(heads, s_p, bb, ra, rh, x2, z, dy, bias_rep,
+                             wq, bq, wk, bk, wv, bv, wo, gamma, seeds)
+        two = fk._run_bwd_split(heads, s_p, bb, ra, rh, x2, z, dy, bias_rep,
+                                wq, bq, wk, bk, wv, bv, wo, gamma, seeds)
+        for name, a, b_ in zip(("dx", "dq", "dk", "dv", "dd", "ctx"),
+                               single, two):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b_),
+                err_msg=f"{name} differs between split and single-pass")
+
+    def test_grads_match_twin_with_split_forced(self, rng, monkeypatch):
+        ra, rh = 0.2, 0.25
+        args = _mk(rng, 3, 13, 128)
+        key = jax.random.PRNGKey(5)
+        seeds = _seeds(key)
+        heads = 2
+        orig = fk._pick_layout_train
+        monkeypatch.setattr(
+            fk, "_pick_layout_train",
+            lambda *a: (orig(*a)[0], orig(*a)[1], True))
+        diff_idx = (0,) + tuple(range(2, 12))
+
+        def loss_k(*a):
+            return jnp.sum(
+                fk.fused_attn_block_train(*a, heads, ra, rh, dropout_rng=key) ** 2
+            )
+
+        def loss_r(*a):
+            return jnp.sum(fk.block_train_reference(*a, heads, ra, rh, seeds) ** 2)
+
+        gk = jax.grad(loss_k, argnums=diff_idx)(*args)
+        gr = jax.grad(loss_r, argnums=diff_idx)(*args)
+        for name, a, b in zip(
+            ["x", "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo",
+             "gamma", "beta"], gk, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3,
+                err_msg=f"grad({name}) mismatch on the split backward")
 
 
 class TestModelWiring:
