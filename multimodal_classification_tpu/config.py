@@ -163,10 +163,15 @@ class ViLBERTConfig:
     # becomes two kernels + the two (already fused) per-stream FFNs
     # (ops/pallas_kernels/fused_co_block.py). Same dispatch rules as
     # fused_attn_block, plus a measured batch/quantization policy:
-    #   "auto" (default) — fuse only the int8 path at batch >= 32, where the
-    #     same-run v5e A/B wins (seq32 @64: 5457 vs 5083 memes/s, +2-7%
-    #     across three reps); int8 @16 and @1 measured SLOWER fused
-    #     (3210 vs 3330 @16), and bf16 loses at 16/64, so auto refuses there.
+    #   "auto" (default) — fuse the int8 path: at EVERY batch when
+    #     fused_text_layer is on (round-4 re-validation, 2 reps × batches
+    #     16/64/112 seq 32: lyr8 3974/3836 vs lyr8nc 3431/3334 @16 (+15%),
+    #     5565/5852 vs 5519/5736 @64, 6249/6298 vs 6071/6176 @112 — once
+    #     the text layers are single kernels the unfused co-attention's
+    #     small-op overhead dominates), and only at batch >= 32 without it
+    #     (coa8 3437 vs blk8 3931 @16 — the round-3 finding still holds on
+    #     the two-kernel path). bf16 loses or ties everywhere (coa 2899/2909
+    #     vs blk 3067/2998 @16; within noise @112) — auto always refuses it.
     #   True — always fuse where shapes allow (A/B escape hatch).
     #   False — never.
     fused_co_attn: "bool | str" = "auto"

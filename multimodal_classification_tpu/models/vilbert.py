@@ -98,6 +98,7 @@ class BiAttentionBlock(nn.Module):
                 (d_q1, d_k1, d_v1), (d_q2, d_k2, d_v2), out_v, out_t,
                 v_hidden, t_hidden, v_bias, t_bias, heads,
                 mode=cfg.fused_co_attn,
+                text_layers_fused=bool(cfg.fused_text_layer),
             )
             if fused is not None:
                 v_attn, t_attn = fused
@@ -168,15 +169,21 @@ class BiAttentionBlock(nn.Module):
 
 def _try_fused_co_block(v_denses, t_denses, out_v, out_t,
                         v_hidden, t_hidden, v_bias, t_bias, num_heads: int,
-                        mode="auto"):
+                        mode="auto", text_layers_fused=False):
     """Dispatch both co-attention directions to the fused Pallas kernels
     (ops/pallas_kernels/fused_co_block.py). Returns (v_attn, t_attn) or
     None — falling back to the unfused modules — off TPU, at unsupported
     shapes, under calibration, when the denses took mixed quantization
-    paths, or when ``mode="auto"``'s measured policy refuses (fuse only the
-    int8 path at batch >= 32 — see ViLBERTConfig.fused_co_attn for the
-    numbers). Eval only (caller gates on deterministic)."""
-    if mode == "auto" and v_hidden.shape[0] < 32:
+    paths, or when ``mode="auto"``'s measured policy refuses. The policy
+    (re-validated round 4, 2 reps × batches 16/64/112 at seq 32 —
+    parameters.yml tuning log): int8 WITH whole-text-layer fusion wins at
+    EVERY batch (lyr8 3974/3836 vs lyr8nc 3431/3334 @16; +2-3% @64/112) —
+    once the text layers are single kernels, the unfused co-attention's
+    many small XLA ops dominate the step; int8 WITHOUT text-layer fusion
+    still loses under batch 32 (coa8 3437 vs blk8 3931 @16); bf16 loses or
+    ties everywhere. Eval only (caller gates on deterministic)."""
+    if (mode == "auto" and v_hidden.shape[0] < 32
+            and not text_layers_fused):
         return None
     pq1, pk1, pv1 = (d(v_hidden, return_params=True) for d in v_denses)
     pq2, pk2, pv2 = (d(t_hidden, return_params=True) for d in t_denses)

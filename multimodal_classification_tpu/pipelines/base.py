@@ -319,8 +319,15 @@ def run_validation_pipeline(
     model, params_tree = build_model_and_params(ex, root)
     trainer = Trainer(model, ex, tracker=tracker,
                       checkpoint_dir=os.path.join(root, ex.output_dir))
-    if trainer.ckpt.exists("best"):
-        params_tree = trainer.ckpt.restore("best")["params"]
+    if not trainer.ckpt.exists("best"):
+        # the reference's load_trained_model fails hard on a missing
+        # checkpoint (nodes.py:325-348) — silently evaluating the untrained
+        # model would report garbage metrics as if they were real
+        raise FileNotFoundError(
+            f"no 'best' checkpoint under {os.path.join(root, ex.output_dir)} "
+            f"— run the training pipeline first (vilbert_{variant or 'lmdb'}"
+            f"_train)")
+    params_tree = trainer.ckpt.restore("best")["params"]
     eval_step = None
     if ex.serving_int8:
         from multimodal_classification_tpu.ops.quant import build_quant_tree
@@ -361,7 +368,15 @@ def run_inference_pipeline(
                          text_bucket_multiple=ex.data.text_bucket_multiple)
     model, params_tree = build_model_and_params(ex, root)
     trainer = Trainer(model, ex, checkpoint_dir=os.path.join(root, ex.output_dir))
-    if use_local_checkpoint and trainer.ckpt.exists("best"):
+    if use_local_checkpoint:
+        if not trainer.ckpt.exists("best"):
+            # mirrors the reference's inference_local: load_trained_model
+            # fails hard when the local checkpoint is absent (the HF-weights
+            # mode, vilbert_inference, passes use_local_checkpoint=False)
+            raise FileNotFoundError(
+                f"no 'best' checkpoint under "
+                f"{os.path.join(root, ex.output_dir)} — train first or use "
+                f"the vilbert_inference (non-local) pipeline")
         params_tree = trainer.ckpt.restore("best")["params"]
 
     from multimodal_classification_tpu.training.train import (

@@ -57,6 +57,11 @@ _SLOW_TESTS = {
     "test_fused_co_block.py::TestModelWiring::test_auto_policy",              # 49s
     "test_fused_attn_block_train.py::TestModelWiring::test_dispatch_and_grads",  # 44s
     "test_extractors.py::TestFRCNNExtractors::test_fasterrcnn_fpn_contract",  # 43s
+    # chain-dependent: restore/predict from the checkpoint that the
+    # (slow-marked) training tests in the same module write — they must
+    # ride with that tier even though they are individually fast
+    "test_pipelines.py::TestLmdbTrainPipeline::test_validate_pipeline_restores_checkpoint",
+    "test_pipelines.py::TestLmdbTrainPipeline::test_inference_pipeline_writes_predictions",
 }
 
 

@@ -166,8 +166,9 @@ class TestModelWiring:
                                    rtol=1e-6, atol=1e-6)
 
     def test_auto_policy(self, model_pair, rng, monkeypatch):
-        """Default "auto" fuses ONLY the int8 path at batch >= 32 (the
-        measured win); float and small batches fall back."""
+        """Default "auto" policy (round-4 re-validation): int8 fuses at any
+        batch WHEN fused_text_layer is on, only at batch >= 32 without it;
+        float always falls back."""
         import dataclasses
 
         import multimodal_classification_tpu.ops.pallas_kernels as pk
@@ -178,8 +179,11 @@ class TestModelWiring:
         from multimodal_classification_tpu.ops.quant import build_quant_tree
 
         base, fused, params, batch = model_pair
-        cfg = dataclasses.replace(base.cfg, fused_co_attn="auto")
+        cfg = dataclasses.replace(base.cfg, fused_co_attn="auto",
+                                  fused_text_layer=False)
         auto = ViLBERTForClassification(cfg)
+        cfg_lyr = dataclasses.replace(cfg, fused_text_layer=True)
+        auto_lyr = ViLBERTForClassification(cfg_lyr)
         calls = []
         for name in ("maybe_fused_co_dir", "maybe_fused_co_dir_int8"):
             orig = getattr(pk, name)
@@ -188,9 +192,18 @@ class TestModelWiring:
                 lambda *a, _o=orig, _n=name, **k: calls.append(_n) or _o(*a, **k))
         quant = build_quant_tree(params, min_dim=64)
 
-        # small batch (3): auto refuses before probing, int8 or not
+        # small batch (3), no text-layer fusion: auto refuses before probing
         auto.apply({"params": params, "quant": quant}, **batch,
                    deterministic=True)
+        assert not calls
+        # small batch WITH text-layer fusion + int8: fuses (the round-4
+        # measured win: lyr8 3974 vs lyr8nc 3431 memes/s @16)
+        auto_lyr.apply({"params": params, "quant": quant}, **batch,
+                       deterministic=True)
+        assert calls and set(calls) == {"maybe_fused_co_dir_int8"}
+        calls.clear()
+        # small batch with text-layer fusion but FLOAT: still refused
+        auto_lyr.apply({"params": params}, **batch, deterministic=True)
         assert not calls
         big = dummy_batch(cfg, 32, 8, 8)
         # batch 32 float: auto still refuses (bf16 measured slower fused)

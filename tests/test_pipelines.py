@@ -265,6 +265,22 @@ class TestLmdbTrainPipeline:
         assert len(out2["history"]["train_loss"]) == 4
         assert out2["history"]["train_loss"][:2] == out1["history"]["train_loss"]
 
+    def test_validate_without_checkpoint_fails_hard(self, project, tmp_path):
+        """Missing 'best' checkpoint must raise (reference load_trained_model
+        semantics, nodes.py:325-348) — not silently score the untrained
+        model. output_dir is overridden to an empty dir so this is
+        order-independent of the training tests."""
+        root, params = project
+        lmdb_abs = os.path.join(root, "data/01_raw/lmdb_features/detectron.lmdb")
+        params = {**params, "vilbert_lmdb": {
+            **params["vilbert_lmdb"], "lmdb_path": lmdb_abs,
+            "output_dir": str(tmp_path / "no_ckpt")}}
+        with pytest.raises(FileNotFoundError, match="best"):
+            run_validation_pipeline("lmdb", params, root)
+        with pytest.raises(FileNotFoundError, match="best"):
+            run_inference_pipeline("lmdb", params, root,
+                                   use_local_checkpoint=True)
+
     def test_inference_pipeline_writes_predictions(self, project):
         root, params = project
         lmdb_abs = os.path.join(root, "data/01_raw/lmdb_features/detectron.lmdb")
@@ -326,8 +342,13 @@ class TestEveryVariantConfigBuilds:
         p_float = {**params, "vilbert_lmdb": base}
         p_int8 = {**params, "vilbert_lmdb": {**base, "serving_int8": True,
                                              "serving_int8_min_dim": 16}}
-        df_f = run_inference_pipeline("lmdb", p_float, root)
-        df_q = run_inference_pipeline("lmdb", p_int8, root)
+        # use_local_checkpoint=False: the assertion is float-vs-int8
+        # prediction agreement, which needs no trained checkpoint (and this
+        # keeps the test independent of the slow-tier training tests)
+        df_f = run_inference_pipeline("lmdb", p_float, root,
+                                      use_local_checkpoint=False)
+        df_q = run_inference_pipeline("lmdb", p_int8, root,
+                                      use_local_checkpoint=False)
         agree = (df_f["prediction"].values == df_q["prediction"].values).mean()
         assert agree >= 0.95, agree
         # probabilities track closely, not just the argmax
