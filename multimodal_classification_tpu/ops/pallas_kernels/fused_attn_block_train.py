@@ -110,8 +110,16 @@ def _pick_layout_train(seq: int, hidden: int, itemsize: int):
                 continue
             if bwd <= _VMEM_BUDGET:
                 return s_p, bb, False
-            if os.environ.get("MMC_ATTN_TRAIN_NO_SPLIT") == "1":
-                continue  # A/B knob: refuse split layouts (text-only fusion)
+            # Split layouts are OPT-IN (A/B knob): measured SLOWER at the
+            # flagship config — 22.36/22.41 ms/step vs 21.53/21.49 text-only
+            # in two same-run rep pairs (scripts/bench_train_fused.py,
+            # VARIANTS=base,attn,attn_split). The visual layout degenerates
+            # to one item per program (s_p=128: 28% pad rows, r=128 grid
+            # ×16) and the two passes fetch the weight set twice; the saved
+            # small-fusion overhead doesn't cover it. Kernels stay
+            # parity-tested; default keeps the unfused visual path.
+            if os.environ.get("MMC_ATTN_TRAIN_SPLIT") != "1":
+                continue
             bwd_a = (hidden * hidden * itemsize          # wo
                      + r * hidden * (20 + 2 * itemsize))  # z/dy in, dz/dd/dctx out + temps
             bwd_b = (3 * hidden * hidden * itemsize      # wq/wk/wv

@@ -31,15 +31,18 @@ VARIANT_ENVS = {
              "MMC_ATTN_TRAIN_NO_SPLIT": "0"},
     "ffn": {"BENCH_FFN_TRAIN": "1", "BENCH_ATTN_TRAIN": "0",
             "MMC_ATTN_TRAIN_NO_SPLIT": "0"},
-    # attn = text (single-pass bwd) + visual (two-pass split bwd) layers
+    # attn = the shipping default: text layers fused (single-pass bwd),
+    # visual unfused (the split extension measured slower — see below)
     "attn": {"BENCH_FFN_TRAIN": "0", "BENCH_ATTN_TRAIN": "1",
-             "MMC_ATTN_TRAIN_NO_SPLIT": "0"},
-    # attn_text = round-4 session-1 configuration (visual refused) — the
-    # measured-win baseline the split-bwd extension must beat
-    "attn_text": {"BENCH_FFN_TRAIN": "0", "BENCH_ATTN_TRAIN": "1",
-                  "MMC_ATTN_TRAIN_NO_SPLIT": "1"},
+             "MMC_ATTN_TRAIN_SPLIT": "0"},
+    # attn_split = + visual layers via the two-pass split backward.
+    # MEASURED SLOWER both reps (22.36/22.41 vs attn 21.53/21.49 ms/step):
+    # one item per program (28% pad) + double weight fetch across the two
+    # passes — kept as the A/B arm
+    "attn_split": {"BENCH_FFN_TRAIN": "0", "BENCH_ATTN_TRAIN": "1",
+                   "MMC_ATTN_TRAIN_SPLIT": "1"},
     "both": {"BENCH_FFN_TRAIN": "1", "BENCH_ATTN_TRAIN": "1",
-             "MMC_ATTN_TRAIN_NO_SPLIT": "0"},
+             "MMC_ATTN_TRAIN_SPLIT": "0"},
 }
 
 
