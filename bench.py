@@ -472,18 +472,33 @@ def main() -> int:
     # hangs ~4 min loads in seconds on the next attempt), so when a stage
     # dies — stall-killed early by _spawn or genuinely timed out — cycle
     # back through the stages with whatever budget remains instead of
-    # giving up after one headline + one fallback pass.
+    # giving up after one headline + one fallback pass. A banked FALLBACK
+    # number is kept but not final: any remaining budget goes into retrying
+    # the HEADLINE stage, whose number replaces it (measured: a stall
+    # window killed the headline once, the fallback banked 538/s, and the
+    # headline would have delivered ~744/s on the next attempt).
     result = None
+    have_headline = False
     for i, stage in enumerate(("headline", "fallback") * 3):
+        if have_headline:
+            break
+        if result is not None and stage == "fallback":
+            continue  # fallback already banked — only a headline upgrades it
         remaining = deadline - time.monotonic()
         if remaining < 60:
             break
-        timeout = remaining - (reserve if i == 0 else 5)
+        timeout = remaining - (reserve if i == 0 and result is None else 5)
         if timeout < 45:
             continue
-        result = _spawn(stage, timeout=timeout, deadline=deadline)
-        if result is not None:
-            break
+        r = _spawn(stage, timeout=timeout, deadline=deadline)
+        if r is not None:
+            result = r
+            have_headline = stage == "headline"
+            # print the banked number IMMEDIATELY: if the driver's outer
+            # timeout kills this parent during a later upgrade attempt, the
+            # line is already on stdout (the driver takes the last JSON
+            # line); an upgraded headline result prints again below and wins
+            print(json.dumps(result), flush=True)
     if result is None:
         print("bench: all stages failed within budget", file=sys.stderr,
               flush=True)
