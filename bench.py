@@ -218,24 +218,25 @@ def setup(k: int = 10, stacked: bool | None = None):
 
     # text-length bucket: meme texts are ~12-25 tokens; attention over padded
     # keys is masked, so slicing to the real max length computes the SAME
-    # function as the reference's always-128 padding, minus the padding FLOPs
-    # progress line BEFORE the first tiny compiled op: on bad relay days a
-    # single cached-executable load can stall for minutes (measured 10.15/
-    # 10.41 this round: >240 s at exactly this point), and every line of
-    # output resets the parent's stall timer — silence must mean "hung",
-    # not "one slow load between prints"
-    print("computing text bucket (first compiled op: relay executable "
-          "load)...", file=sys.stderr, flush=True)
+    # function as the reference's always-128 padding, minus the padding FLOPs.
+    # Host-computed (DeviceData.max_text_len): a device max-reduce here was
+    # the single flakiest load on the bench critical path — round-4
+    # rehearsals stalled >300 s at exactly this trivial op in FOUR stage
+    # attempts while bigger programs loaded fine minutes later
     bucket = data.seq_bucket(32)
-    print(f"text bucket: {bucket} of {SEQ_LEN} tokens", file=sys.stderr,
-          flush=True)
+    print(f"text bucket: {bucket} of {SEQ_LEN} tokens (host-computed)",
+          file=sys.stderr, flush=True)
 
     first = {k: np.stack([ds.get(i)[k] for i in range(2)]) for k in ds.get(0)}
     first = {**first, "input_ids": first["input_ids"][:, :bucket],
              "attention_mask": first["attention_mask"][:, :bucket],
              "token_type_ids": first["token_type_ids"][:, :bucket]}
     print("initializing params on device...", file=sys.stderr, flush=True)
-    params = model.init(jax.random.key(0), **model_inputs(first))["params"]
+    stop_beat = _heartbeat("params init")
+    try:
+        params = model.init(jax.random.key(0), **model_inputs(first))["params"]
+    finally:
+        stop_beat()
     print("params initialized", file=sys.stderr, flush=True)
     state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
     # K steps per dispatch: lax.scan over an index matrix (amortises host
@@ -270,14 +271,41 @@ def setup(k: int = 10, stacked: bool | None = None):
     return step, state, data, index_blocks(), rng_key, K
 
 
+def _heartbeat(label: str):
+    """Background thread printing a progress line every 60 s while a long
+    BLOCKING jax call (compile / executable load) is in flight. The parent's
+    stall detector treats any output as liveness, so a genuinely-loading
+    program gets the stage's full timeout instead of being stall-killed at
+    BENCH_STALL seconds of silence — round-4 rehearsals measured the SAME
+    warm train program loading in 33 s, 159 s, and >300 s depending on the
+    relay's mood, and killing the slow loads never made the retry faster.
+    Returns a stop callable."""
+    import threading
+
+    stop = threading.Event()
+    t0 = time.monotonic()
+
+    def beat():
+        while not stop.wait(60):
+            print(f"{label} in flight ({time.monotonic() - t0:.0f}s)...",
+                  file=sys.stderr, flush=True)
+
+    threading.Thread(target=beat, daemon=True).start()
+    return stop.set
+
+
 def _measure_train(stacked: bool) -> dict:
     step, state, data, it, rng_key, K = setup(stacked=stacked)
     t_c0 = time.perf_counter()
-    for _ in range(max(WARMUP_STEPS // K, 1)):
-        state, m = step(state, data, next(it), rng_key)
-    # fetch the VALUE (device→host): on remote/tunneled backends
-    # block_until_ready can return before compute completes
-    _ = float(m["loss"])
+    stop_beat = _heartbeat("compile+warmup")
+    try:
+        for _ in range(max(WARMUP_STEPS // K, 1)):
+            state, m = step(state, data, next(it), rng_key)
+        # fetch the VALUE (device→host): on remote/tunneled backends
+        # block_until_ready can return before compute completes
+        _ = float(m["loss"])
+    finally:
+        stop_beat()
     print(f"compile+warmup: {time.perf_counter() - t_c0:.1f}s",
           file=sys.stderr, flush=True)
 
@@ -333,12 +361,16 @@ def _measure_serving() -> dict:
     rng = np.random.default_rng(0)
     batch["visual_features"] = jnp.asarray(
         rng.standard_normal(batch["visual_features"].shape), jnp.bfloat16)
-    params = model.init(jax.random.key(0), **batch)["params"]
-    quant = build_quant_tree(params)
-    step = jax.jit(make_quant_eval_step(model))
-    for _ in range(3):
-        logits = step(params, quant, model_inputs(batch))
-    _ = float(logits[0, 0])
+    stop_beat = _heartbeat("serving extras init+warmup")
+    try:
+        params = model.init(jax.random.key(0), **batch)["params"]
+        quant = build_quant_tree(params)
+        step = jax.jit(make_quant_eval_step(model))
+        for _ in range(3):
+            logits = step(params, quant, model_inputs(batch))
+        _ = float(logits[0, 0])
+    finally:
+        stop_beat()
     n = 20
     t0 = time.perf_counter()
     for _ in range(n):

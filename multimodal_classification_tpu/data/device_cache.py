@@ -44,6 +44,12 @@ class DeviceData:
     spatial_locations: jnp.ndarray  # [N, R, 5]
     labels: jnp.ndarray  # [N] int32
     feature_scales: Optional[jnp.ndarray] = None  # [N, R] f32 when int8
+    # host-computed max real text length (static metadata, not a leaf):
+    # lets seq_bucket() answer without a device op — the relay's
+    # executable-load stalls made a device max-reduce here the single
+    # flakiest step of the bench's critical path (round 4)
+    max_text_len: Optional[int] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def num_examples(self) -> int:
@@ -76,10 +82,14 @@ class DeviceData:
         return batch
 
     def seq_bucket(self, multiple: int = 32) -> int:
-        """Smallest multiple of ``multiple`` covering the longest real text
-        (computed host-side once per dataset)."""
-        lengths = jnp.sum(self.attention_mask.astype(jnp.int32), axis=-1)
-        max_len = int(jax.device_get(jnp.max(lengths)))
+        """Smallest multiple of ``multiple`` covering the longest real text.
+        Uses the host-recorded ``max_text_len`` when present (no device op);
+        falls back to a device reduce for DeviceData built by other means."""
+        if self.max_text_len is not None:
+            max_len = int(self.max_text_len)
+        else:
+            lengths = jnp.sum(self.attention_mask.astype(jnp.int32), axis=-1)
+            max_len = int(jax.device_get(jnp.max(lengths)))
         cap = self.input_ids.shape[1]
         return min(max(-(-max_len // multiple) * multiple, multiple), cap)
 
@@ -134,6 +144,7 @@ def build_device_data(
         spatial_locations=put(spatial.astype(np_dtype)),
         labels=put(ds.labels.astype(np.int32)),
         feature_scales=scale_arr,
+        max_text_len=int(ds.attention_mask.sum(axis=-1).max()),
     )
 
 
@@ -280,8 +291,10 @@ def build_sharded_device_data(ds: MemesDataset, mesh, feature_dtype=jnp.bfloat16
             return None
         return jax.device_put(np.asarray(x)[:n], sharding)
 
-    return DeviceData(**{f.name: put(getattr(data, f.name))
-                         for f in dataclasses.fields(DeviceData)})
+    return DeviceData(**{
+        f.name: (getattr(data, f.name) if f.metadata.get("static")
+                 else put(getattr(data, f.name)))
+        for f in dataclasses.fields(DeviceData)})
 
 
 def sharded_epoch_indices(
