@@ -148,6 +148,12 @@ def main(argv=None) -> int:
              "row indices cross the host link (single-chip only)",
     )
     serve_p.add_argument(
+        "--preload-max-gb", type=float, default=None, metavar="GB",
+        help="cap the device feature cache's HBM residency; ids beyond the "
+             "cap transparently serve via the host feature path (same "
+             "predictions, host-upload throughput)",
+    )
+    serve_p.add_argument(
         "--artifact", default=None,
         help="serve from an exported artifact directory (mmc-tpu export) "
              "instead of tracing the model — params/buckets/int8 come from "
@@ -324,8 +330,10 @@ def main(argv=None) -> int:
             if calib is not None:
                 serving.calibrate(*calib)
             if getattr(args, "preload_ids", None):
+                cap = getattr(args, "preload_max_gb", None)
                 n = serving.preload_features(
-                    _read_id_file(args.preload_ids))
+                    _read_id_file(args.preload_ids),
+                    max_bytes=int(cap * 1e9) if cap else None)
                 logging.getLogger(__name__).info(
                     "preloaded %d ids into the device feature cache", n)
         serving.warmup()

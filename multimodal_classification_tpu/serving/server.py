@@ -284,16 +284,36 @@ class ServingModel:
                                            self._quant, batches)
         logger.info("int8 activation scales calibrated on %d examples", len(texts))
 
-    def preload_features(self, ids: Sequence[str]) -> int:
+    def preload_features(self, ids: Sequence[str],
+                         max_bytes: Optional[int] = None) -> int:
         """Load the given ids' features into HBM and serve id-only requests
         through the device-resident gather path (see DeviceFeatureCache).
         Returns the number of resident rows. Requires a feature store;
         unsupported under a mesh (the cache would need dp replication —
-        multi-chip serving keeps the host feature path)."""
+        multi-chip serving keeps the host feature path).
+
+        ``max_bytes`` caps HBM residency for feature sets larger than the
+        chip: ids beyond the cap are simply not preloaded — requests for
+        them transparently take the host feature path (see
+        ``_host_resolvable_misses``), so capping changes throughput for the
+        cold tail, never predictions."""
         if self.store is None:
             raise ValueError("preload_features requires a feature store")
         if self.mesh is not None:
             raise ValueError("device feature cache is single-chip only")
+        ids = list(ids)
+        if max_bytes is not None:
+            row_bytes = self.num_regions * (
+                self.feature_dim * np.dtype(self._wire_dtype).itemsize
+                + 5 * 4 + 4)
+            fit = max(int(max_bytes // row_bytes), 0)
+            if fit < len(ids):
+                logger.warning(
+                    "device feature cache capped: %d of %d ids fit in "
+                    "%.0f MB (%.0f KB/row) — the rest serve via the host "
+                    "feature path", fit, len(ids), max_bytes / 1e6,
+                    row_bytes / 1e3)
+                ids = ids[:fit]
         self._cache = DeviceFeatureCache.from_store(
             self.store, ids, num_regions=self.num_regions,
             feature_dim=self.feature_dim, wire_dtype=self._wire_dtype,
@@ -442,6 +462,24 @@ class ServingModel:
             logits = self._cached_step(self.params, cf, cs, cm, tokens, idx)
         return logits
 
+    def _host_resolvable_misses(self, instances) -> bool:
+        """True when some requested id is NOT device-resident but the host
+        feature store CAN resolve it (a cache-capped or never-preloaded id):
+        such a batch must take the host feature path — letting the cached
+        gather's -1 fallback zero it out would silently change predictions.
+        Truly-unknown ids (store misses) keep the zero-feature fallback on
+        either path, matching the reference's semantics."""
+        if self.store is None:
+            return False
+        for inst in instances:
+            i = inst.get("id")
+            if i is None:
+                continue
+            if (str(i) not in self._cache.index
+                    and self.store.get(str(i)) is not None):
+                return True
+        return False
+
     def predict_async(self, texts: Sequence[str],
                       instances: Optional[Sequence[Dict[str, Any]]] = None):
         """Dispatch one compiled batch and return an opaque handle WITHOUT
@@ -455,7 +493,8 @@ class ServingModel:
             raise ValueError(f"batch of {n} exceeds compiled size {self.batch_size}")
         if (self._cache is not None and instances is not None
                 and len(instances) == n
-                and all(i.get("features") is None for i in instances)):
+                and all(i.get("features") is None for i in instances)
+                and not self._host_resolvable_misses(instances)):
             logits = self._predict_cached(texts, instances)
         else:
             batch = self._build_batch(texts, instances)

@@ -365,6 +365,41 @@ def test_device_feature_cache_parity_and_fallback(serving):
     assert got.shape == (1, 2)
 
 
+def test_capped_feature_cache_falls_back_to_host_for_evicted_ids(serving):
+    """preload_features(max_bytes=...) keeps only what fits; requests for a
+    known-but-not-resident id must take the HOST feature path (same
+    predictions), never the cached gather's zero-feature fallback."""
+    cfg, model, params, _, tok, _ = serving
+    rng = np.random.default_rng(3)
+    ids = ["a1", "a2", "a3"]
+    store = DictFeatureStore(
+        {i: rng.standard_normal((6, 32)).astype(np.float32) for i in ids},
+        {i: rng.uniform(0, 1, (6, 5)).astype(np.float32) for i in ids},
+    )
+    sm = ServingModel(model, params, tok, store, max_seq_length=12,
+                      num_regions=6, feature_dim=32, batch_size=4)
+    texts = ["one meme", "two memes", "never seen"]
+    insts = [{"id": "a1"}, {"id": "a3"}, {"id": "truly-unknown"}]
+    host = sm.predict(texts, insts)
+
+    row_bytes = 6 * (32 * 4 + 5 * 4 + 4)
+    n = sm.preload_features(ids, max_bytes=row_bytes)  # exactly one row fits
+    assert n == 1 and "a1" in sm._cache.index
+
+    calls = []
+    orig = sm._predict_cached
+    sm._predict_cached = lambda *a: calls.append(1) or orig(*a)
+    # a3 is store-resolvable but evicted → host path, identical predictions
+    capped = sm.predict(texts, insts)
+    np.testing.assert_allclose(capped, host, rtol=1e-5, atol=1e-6)
+    assert not calls
+    # all-resident batch (incl. a truly-unknown id) keeps the cached path
+    # and the resident id's prediction matches the host path
+    res = sm.predict(["one meme", "x"], [{"id": "a1"}, {"id": "nope"}])
+    assert calls
+    np.testing.assert_allclose(res[0], host[0], rtol=1e-5, atol=1e-6)
+
+
 def test_batch_size_routing_parity(serving):
     """Multiple compiled batch sizes: a single request dispatches the
     smallest program; probabilities identical to the full-batch pad."""
