@@ -331,9 +331,11 @@ def main(argv=None) -> int:
                 serving.calibrate(*calib)
             if getattr(args, "preload_ids", None):
                 cap = getattr(args, "preload_max_gb", None)
+                if cap is not None and cap < 0:
+                    raise SystemExit("--preload-max-gb must be >= 0")
                 n = serving.preload_features(
                     _read_id_file(args.preload_ids),
-                    max_bytes=int(cap * 1e9) if cap else None)
+                    max_bytes=int(cap * 1e9) if cap is not None else None)
                 logging.getLogger(__name__).info(
                     "preloaded %d ids into the device feature cache", n)
         serving.warmup()

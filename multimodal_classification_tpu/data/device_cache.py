@@ -164,11 +164,15 @@ def epoch_indices(
 
 
 def make_device_train_step(model, loss_fn, tx, seq_bucket: Optional[int] = None,
-                           grads_dtype: Optional[str] = None):
+                           grads_dtype: Optional[str] = None, slab_spec=None):
     """Jitted train step over device-resident data: (state, data, indices, rng).
 
     The gather happens inside the compiled program — batch bytes never cross
     the host link. ``seq_bucket``: see DeviceData.gather.
+
+    ``slab_spec`` (training/flat_slab.py): the state's params/moments are
+    flat per-dtype slabs; the model consumes an unpacked view and the whole
+    optimizer chain runs over contiguous buffers.
     """
     from multimodal_classification_tpu.training.train import (
         TrainState, cast_grads, model_inputs,
@@ -176,13 +180,15 @@ def make_device_train_step(model, loss_fn, tx, seq_bucket: Optional[int] = None,
 
     import optax
 
+    view = _make_param_view(slab_spec)
+
     def step(state: "TrainState", data: DeviceData, indices: jnp.ndarray, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         batch = data.gather(indices, seq_bucket)
 
         def loss_of(params):
             out = model.apply(
-                {"params": params},
+                {"params": view(params)},
                 **model_inputs(batch),
                 deterministic=False,
                 rngs={"dropout": rng},
@@ -198,10 +204,20 @@ def make_device_train_step(model, loss_fn, tx, seq_bucket: Optional[int] = None,
     return step
 
 
+def _make_param_view(slab_spec):
+    """Identity, or the differentiable slab→tree view (training/flat_slab.py)
+    whose VJP lands gradients directly in contiguous slabs."""
+    if slab_spec is None:
+        return lambda p: p
+    from multimodal_classification_tpu.training.flat_slab import make_unpack
+
+    return make_unpack(slab_spec)
+
+
 def make_device_multi_step(model, loss_fn, tx, unroll: int = 1,
                            seq_bucket: Optional[int] = None,
                            grads_dtype: Optional[str] = None,
-                           pack_carry: bool = False):
+                           pack_carry: bool = False, slab_spec=None):
     """K training steps per dispatch via lax.scan over an index matrix
     [K, B] — amortises host dispatch latency and lets XLA pipeline step
     boundaries. The whole epoch can be one compiled call.
@@ -210,6 +226,11 @@ def make_device_multi_step(model, loss_fn, tx, unroll: int = 1,
     params + their Adam moments) into per-dtype vectors across the scan —
     see training/packing.py for the profile-driven rationale. Numerically
     exact either way.
+
+    ``slab_spec`` (training/flat_slab.py) goes further: the state KEEPS the
+    slab layout through the step, so the optimizer itself updates contiguous
+    buffers (pack_carry only repacked between iterations; the update still
+    ran per-leaf). Mutually exclusive with pack_carry.
     """
     from multimodal_classification_tpu.training.train import (
         TrainState, cast_grads, model_inputs,
@@ -217,13 +238,17 @@ def make_device_multi_step(model, loss_fn, tx, unroll: int = 1,
 
     import optax
 
+    if pack_carry and slab_spec is not None:
+        raise ValueError("pack_carry and slab_spec are mutually exclusive")
+    view = _make_param_view(slab_spec)
+
     def one(state: "TrainState", data: DeviceData, indices: jnp.ndarray, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         batch = data.gather(indices, seq_bucket)
 
         def loss_of(params):
             out = model.apply(
-                {"params": params},
+                {"params": view(params)},
                 **model_inputs(batch),
                 deterministic=False,
                 rngs={"dropout": rng},
@@ -256,12 +281,16 @@ def make_device_multi_step(model, loss_fn, tx, unroll: int = 1,
     return multi
 
 
-def make_device_eval_step(model, seq_bucket: Optional[int] = None):
+def make_device_eval_step(model, seq_bucket: Optional[int] = None,
+                          slab_spec=None):
     from multimodal_classification_tpu.training.train import model_inputs
+
+    view = _make_param_view(slab_spec)
 
     def eval_step(params, data: DeviceData, indices: jnp.ndarray):
         batch = data.gather(indices, seq_bucket)
-        out = model.apply({"params": params}, **model_inputs(batch), deterministic=True)
+        out = model.apply({"params": view(params)}, **model_inputs(batch),
+                          deterministic=True)
         return out["logits"].astype(jnp.float32)
 
     return eval_step
@@ -291,10 +320,17 @@ def build_sharded_device_data(ds: MemesDataset, mesh, feature_dtype=jnp.bfloat16
             return None
         return jax.device_put(np.asarray(x)[:n], sharding)
 
-    return DeviceData(**{
+    out = DeviceData(**{
         f.name: (getattr(data, f.name) if f.metadata.get("static")
                  else put(getattr(data, f.name)))
         for f in dataclasses.fields(DeviceData)})
+    if n < data.num_examples and out.max_text_len is not None:
+        # the truncated tail may have held the longest text; recompute over
+        # the kept range so seq_bucket() is never a bucket larger than the
+        # shard needs (outputs identical either way — padding is masked)
+        return dataclasses.replace(out, max_text_len=int(
+            ds.attention_mask[:n].sum(axis=-1).max()))
+    return out
 
 
 def sharded_epoch_indices(

@@ -84,9 +84,11 @@ def _round_up(x: int, m: int) -> int:
 
 def _pick_layout_train(seq: int, hidden: int, itemsize: int):
     """One (s_p, bb, split) sized for the LARGER of the fwd/bwd working sets
-    (the saved residual z must pad identically in both kernels). Prefers the
-    smallest per-item padding, then the largest block, then the single-pass
-    backward. When the single-pass backward doesn't fit at any legal block
+    (the saved residual z must pad identically in both kernels). A SINGLE-PASS
+    backward is preferred outright: the search returns the first layout
+    (scanning smallest per-item padding, then largest block) whose one-pass
+    backward fits, even if a split layout with less padding exists. Only when
+    the single-pass backward doesn't fit at any legal block
     (the 1024-d visual stream: 4 weight matrices alone are 8.4 MB bf16) but
     the TWO-PASS backward does — pass A: LN + output-projection backward
     (wo resident), pass B: attention VJP + dx (wq/wk/wv resident), stitched

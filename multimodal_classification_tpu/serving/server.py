@@ -475,8 +475,10 @@ class ServingModel:
             i = inst.get("id")
             if i is None:
                 continue
-            if (str(i) not in self._cache.index
-                    and self.store.get(str(i)) is not None):
+            # membership probe only — FeatureStore.__contains__ avoids
+            # reading/decoding the full feature row on the hot path (the
+            # host path re-reads it anyway when this returns True)
+            if str(i) not in self._cache.index and str(i) in self.store:
                 return True
         return False
 
@@ -623,12 +625,28 @@ class _MicroBatcher:
                 # blocks when pipeline_depth dispatches are in flight
                 self._pending.put((handle, futs, enq_ts))
 
+    def _fail_queued(self, exc: Exception):
+        """Fail every future still waiting in the intake queue (used when the
+        collector is gone — otherwise clients hang until their HTTP timeout)."""
+        while True:
+            try:
+                _, fut, _ = self.q.get_nowait()
+            except queue.Empty:
+                return
+            if not fut.done():
+                fut.set_exception(exc)
+
     def _complete(self):
         while True:
             try:
                 handle, futs, enq_ts = self._pending.get(timeout=0.1)
             except queue.Empty:
-                if self._stop.is_set() and not self._thread.is_alive():
+                # exit whenever the collector thread is gone — clean close()
+                # OR a fatal collector error (without the latter, a dead
+                # collector would leave this thread polling forever and
+                # queued futures unresolved)
+                if not self._thread.is_alive():
+                    self._fail_queued(RuntimeError("micro-batcher stopped"))
                     return
                 continue
             try:
