@@ -238,6 +238,21 @@ def setup(k: int = 10, stacked: bool | None = None):
     finally:
         stop_beat()
     print("params initialized", file=sys.stderr, flush=True)
+    # BENCH_SLAB: flat-slab params/optimizer A/B (training/flat_slab.py) —
+    # "1" slabs leaves ≤64 KB (biases/LN + their moments → a handful of
+    # contiguous buffers), "all" slabs every leaf including matmul weights
+    slab_mode = os.environ.get("BENCH_SLAB", "0")
+    slab_spec = None
+    if slab_mode not in ("0", ""):
+        from multimodal_classification_tpu.training.flat_slab import (
+            plan_slabs, slab_pack)
+
+        slab_spec = plan_slabs(params,
+                               threshold_bytes=-1 if slab_mode == "all" else 65536)
+        params = slab_pack(params, slab_spec)
+        print(f"flat-slab params: mode={slab_mode}, "
+              f"{len(slab_spec.small)} leaves slabbed, "
+              f"{len(slab_spec.large_positions)} kept", file=sys.stderr, flush=True)
     state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
     # K steps per dispatch: lax.scan over an index matrix (amortises host
     # dispatch latency; the whole epoch is one compiled call)
@@ -252,7 +267,8 @@ def setup(k: int = 10, stacked: bool | None = None):
 
     step = jax.jit(make_device_multi_step(model, loss_fn, tx, seq_bucket=bucket,
                                           grads_dtype=grads_dtype, unroll=unroll,
-                                          pack_carry=pack_carry),
+                                          pack_carry=pack_carry,
+                                          slab_spec=slab_spec),
                    donate_argnums=0,
                    compiler_options=compiler_options_from_env())
     rng_key = jax.random.key(1, impl="rbg")

@@ -43,12 +43,31 @@ VARIANT_ENVS = {
                    "MMC_ATTN_TRAIN_SPLIT": "1"},
     "both": {"BENCH_FFN_TRAIN": "1", "BENCH_ATTN_TRAIN": "1",
              "MMC_ATTN_TRAIN_SPLIT": "0"},
+    # flat-slab params/optimizer (training/flat_slab.py, round 5): params +
+    # Adam moments live as contiguous per-dtype slabs through the whole step
+    # — targets the ~4.2 ms/step of small-leaf carry copies + scattered
+    # optimizer fusions the per-op profile pinned on the ~600 small leaves.
+    # Runs ON TOP of the shipping default (text attn-block fusion ON), so
+    # the matching baseline arm is "attn".
+    "slab": {"BENCH_SLAB": "1", "BENCH_FFN_TRAIN": "0",
+             "BENCH_ATTN_TRAIN": "1", "MMC_ATTN_TRAIN_SPLIT": "0"},
+    # every leaf slabbed (matmul weights become views into one buffer)
+    "slab_all": {"BENCH_SLAB": "all", "BENCH_FFN_TRAIN": "0",
+                 "BENCH_ATTN_TRAIN": "1", "MMC_ATTN_TRAIN_SPLIT": "0"},
 }
+
+
+def _reset_env():
+    """Variants must not inherit a previous variant's knobs."""
+    for k in ("BENCH_SLAB", "BENCH_FFN_TRAIN", "BENCH_ATTN_TRAIN",
+              "MMC_ATTN_TRAIN_SPLIT"):
+        os.environ.pop(k, None)
 
 
 def measure(variant: str) -> dict:
     import bench
 
+    _reset_env()
     for k, v in VARIANT_ENVS[variant].items():
         os.environ[k] = v
     t_setup = time.perf_counter()
