@@ -338,6 +338,18 @@ def _measure_train(stacked: bool) -> dict:
         file=sys.stderr, flush=True,
     )
     suffix = ", scan-over-layers stacked encoder (budget fallback)" if stacked else ""
+    # train MFU accounting (utils/flops.py — analytic matmul count, XLA
+    # cross-checked in tests/test_flops.py): reported against the nominal
+    # bf16 peak AND the chip's measured lone-dot ceiling (124 TFLOP/s)
+    from multimodal_classification_tpu.config import facebook_vilbert_config
+    from multimodal_classification_tpu.utils.flops import train_mfu
+
+    mfu = train_mfu(facebook_vilbert_config(), memes_per_sec, BATCH_SIZE,
+                    data.seq_bucket(32), NUM_REGIONS)
+    print(f"train MFU: {mfu['train_tflops']} TFLOP/s = "
+          f"{mfu['train_mfu_vs_nominal']:.1%} of nominal bf16 peak, "
+          f"{mfu['train_mfu_vs_measured_ceiling']:.1%} of the measured "
+          "lone-dot ceiling", file=sys.stderr, flush=True)
     return {
         "metric": "train_memes_per_sec_per_chip (vilbert_lmdb config: "
                   "LMDB-decoded features device-resident, fwd/bwd/opt per step"
@@ -345,6 +357,7 @@ def _measure_train(stacked: bool) -> dict:
         "value": round(memes_per_sec, 2),
         "unit": "memes/sec",
         "vs_baseline": round(memes_per_sec / REFERENCE_MEMES_PER_SEC_ESTIMATE, 3),
+        "extras": mfu,
     }
 
 
@@ -412,7 +425,7 @@ def _run_stage(stage: str) -> int:
     if stage == "headline" and os.environ.get("BENCH_EXTRAS", "1") == "1" \
             and remaining > 60:
         try:
-            result["extras"] = _measure_serving()
+            result.setdefault("extras", {}).update(_measure_serving())
             print(json.dumps(result), flush=True)
         except Exception as e:  # extras are best-effort
             print(f"serving extras failed: {e!r}", file=sys.stderr, flush=True)
