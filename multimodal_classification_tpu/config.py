@@ -316,6 +316,12 @@ class TrainingConfig:
     log_every_steps: int = 50
     checkpoint_dir: str = "data/05_model_output"
     keep_checkpoints: int = 3
+    # HBM capacity cap for the device-resident TRAIN dataset (bytes; None =
+    # uncapped). When the tensorised train set exceeds the cap, training
+    # rotates fixed equal shards through a double-buffered device window
+    # (data/rotation.py) instead of silently falling back to the
+    # transfer-bound host-fed loader (~17× slower on this relay, round 1).
+    device_cache_max_bytes: Optional[int] = None
 
 
 @dataclass(frozen=True)

@@ -17,7 +17,7 @@ collectives on the input path).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +94,66 @@ class DeviceData:
         return min(max(-(-max_len // multiple) * multiple, multiple), cap)
 
 
+def tensorise_host(ds: MemesDataset, feature_dtype=jnp.bfloat16
+                   ) -> Tuple[Dict[str, np.ndarray], int]:
+    """Tensorise a MemesDataset to host numpy arrays in the exact field
+    layout/dtypes of :class:`DeviceData` (shared by the one-shot upload and
+    the capacity-capped rotation path). Returns (fields, max_text_len)."""
+    import ml_dtypes  # numpy bf16 support (ships with jax)
+
+    n = len(ds)
+    feats = np.zeros((n, ds.max_regions, ds.feature_dim), np.float32)
+    spatial = np.zeros((n, ds.max_regions, 5), np.float32)
+    vmask = np.zeros((n, ds.max_regions), np.float32)
+    for i in range(n):
+        item = ds.get(i)
+        feats[i] = item["visual_features"]
+        spatial[i] = item["spatial_locations"]
+        vmask[i] = item["visual_attention_mask"]
+
+    if feature_dtype in ("int8", np.int8, jnp.int8):
+        # per-(example, region) max-abs quantisation; dequantised to bf16 at
+        # gather time — the model consumes features in bf16 anyway
+        scales = np.abs(feats).max(axis=-1) / 127.0  # [N, R]
+        scales = np.maximum(scales, 1e-8)
+        feat_np = np.clip(np.round(feats / scales[..., None]), -127, 127).astype(np.int8)
+        scale_np = scales.astype(np.float32)
+        np_dtype = ml_dtypes.bfloat16
+    else:
+        np_dtype = np.dtype(feature_dtype) if feature_dtype != jnp.bfloat16 else ml_dtypes.bfloat16
+        feat_np = feats.astype(np_dtype)
+        scale_np = None
+    fields = {
+        "input_ids": ds.input_ids.astype(np.int32),
+        "attention_mask": ds.attention_mask.astype(np_dtype),
+        "token_type_ids": ds.token_type_ids.astype(np.int32),
+        "visual_features": feat_np,
+        "visual_attention_mask": vmask.astype(np_dtype),
+        "spatial_locations": spatial.astype(np_dtype),
+        "labels": ds.labels.astype(np.int32),
+    }
+    if scale_np is not None:
+        fields["feature_scales"] = scale_np
+    return fields, int(ds.attention_mask.sum(axis=-1).max())
+
+
+def device_data_from_fields(
+    fields: Dict[str, np.ndarray], max_text_len: int,
+    sharding: Optional[jax.sharding.Sharding] = None,
+) -> DeviceData:
+    """Upload pre-tensorised host fields (one transfer per field)."""
+
+    def put(x):
+        if sharding is not None:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x)
+
+    return DeviceData(
+        **{k: put(v) for k, v in fields.items()},
+        max_text_len=max_text_len,
+    )
+
+
 def build_device_data(
     ds: MemesDataset,
     feature_dtype=jnp.bfloat16,
@@ -105,47 +165,8 @@ def build_device_data(
     bf16 matches the model's compute dtype, so no quality is lost relative to
     the bf16 matmuls, at half the HBM/transfer cost.
     """
-    n = len(ds)
-    feats = np.zeros((n, ds.max_regions, ds.feature_dim), np.float32)
-    spatial = np.zeros((n, ds.max_regions, 5), np.float32)
-    vmask = np.zeros((n, ds.max_regions), np.float32)
-    for i in range(n):
-        item = ds.get(i)
-        feats[i] = item["visual_features"]
-        spatial[i] = item["spatial_locations"]
-        vmask[i] = item["visual_attention_mask"]
-
-    def put(x):
-        if sharding is not None:
-            return jax.device_put(x, sharding)
-        return jax.device_put(x)
-
-    import ml_dtypes  # numpy bf16 support (ships with jax)
-
-    if feature_dtype in ("int8", np.int8, jnp.int8):
-        # per-(example, region) max-abs quantisation; dequantised to bf16 at
-        # gather time — the model consumes features in bf16 anyway
-        scales = np.abs(feats).max(axis=-1) / 127.0  # [N, R]
-        scales = np.maximum(scales, 1e-8)
-        q = np.clip(np.round(feats / scales[..., None]), -127, 127).astype(np.int8)
-        feat_arr = put(q)
-        scale_arr = put(scales.astype(np.float32))
-        np_dtype = ml_dtypes.bfloat16
-    else:
-        np_dtype = np.dtype(feature_dtype) if feature_dtype != jnp.bfloat16 else ml_dtypes.bfloat16
-        feat_arr = put(feats.astype(np_dtype))
-        scale_arr = None
-    return DeviceData(
-        input_ids=put(ds.input_ids.astype(np.int32)),
-        attention_mask=put(ds.attention_mask.astype(np_dtype)),
-        token_type_ids=put(ds.token_type_ids.astype(np.int32)),
-        visual_features=feat_arr,
-        visual_attention_mask=put(vmask.astype(np_dtype)),
-        spatial_locations=put(spatial.astype(np_dtype)),
-        labels=put(ds.labels.astype(np.int32)),
-        feature_scales=scale_arr,
-        max_text_len=int(ds.attention_mask.sum(axis=-1).max()),
-    )
+    fields, max_text_len = tensorise_host(ds, feature_dtype)
+    return device_data_from_fields(fields, max_text_len, sharding)
 
 
 def epoch_indices(

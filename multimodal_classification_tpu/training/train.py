@@ -504,25 +504,50 @@ class Trainer:
         tcfg = self.tcfg
         seed = tcfg.seed if rng_seed is None else rng_seed
         dtype = jnp.bfloat16 if self.cfg.model.dtype == "bfloat16" else jnp.float32
+        rotating = None  # capacity-capped shard rotation (data/rotation.py)
         if multi:
+            if tcfg.device_cache_max_bytes is not None:
+                logger.info(
+                    "device_cache_max_bytes ignored on a multi-chip mesh "
+                    "(the dataset shards over dp, giving dp× the capacity)")
             train_data = build_sharded_device_data(train_ds, self.mesh, feature_dtype=dtype)
             val_data = build_sharded_device_data(val_ds, self.mesh, feature_dtype=dtype)
+        elif tcfg.device_cache_max_bytes is not None:
+            from multimodal_classification_tpu.data.device_cache import (
+                device_data_from_fields, tensorise_host,
+            )
+            from multimodal_classification_tpu.data.rotation import (
+                RotatingDeviceData, dataset_nbytes,
+            )
+
+            fields, mtl = tensorise_host(train_ds, dtype)
+            if dataset_nbytes(fields) > tcfg.device_cache_max_bytes:
+                rotating = RotatingDeviceData(
+                    fields, mtl, tcfg.device_cache_max_bytes,
+                    batch_size=tcfg.batch_size)
+            else:
+                train_data = device_data_from_fields(fields, mtl)
+            val_data = build_device_data(val_ds, feature_dtype=dtype)
         else:
             train_data = build_device_data(train_ds, feature_dtype=dtype)
             val_data = build_device_data(val_ds, feature_dtype=dtype)
 
+        train_meta = rotating if rotating is not None else train_data
         # text-length bucket: identical function (masked padding), fewer FLOPs
         bucket = None
         mult = getattr(self.cfg.data, "text_bucket_multiple", 0)
         if mult:
-            bucket = max(train_data.seq_bucket(mult), val_data.seq_bucket(mult))
-            if bucket >= train_data.input_ids.shape[1]:
+            bucket = max(train_meta.seq_bucket(mult), val_data.seq_bucket(mult))
+            if bucket >= val_data.input_ids.shape[1]:
                 bucket = None
             else:
                 logger.info("text bucket: %d of %d tokens", bucket,
-                            train_data.input_ids.shape[1])
+                            val_data.input_ids.shape[1])
 
-        steps_per_epoch = max(train_data.num_examples // tcfg.batch_size, 1)
+        if rotating is not None:
+            steps_per_epoch = max(rotating.steps_per_epoch(tcfg.batch_size), 1)
+        else:
+            steps_per_epoch = max(train_data.num_examples // tcfg.batch_size, 1)
         total_steps = steps_per_epoch * tcfg.num_epochs
         tx = make_optimizer(tcfg, total_steps, init_params, self.cfg.freeze_bert_layers)
         if multi:
@@ -590,13 +615,21 @@ class Trainer:
             return binary_metrics(labels, p[:, 1], loss=float(nll))
 
         def _train_batches(epoch):
-            if multi:
-                yield from sharded_epoch_indices(
-                    train_data.num_examples, dp, tcfg.batch_size, epoch, seed=seed
-                )
+            """Yield (resident_data, index_batch) — the resident data is the
+            single uploaded set, or the rotating shard window when capped."""
+            if rotating is not None:
+                for sd, idx, _gidx in rotating.epoch_batches(
+                        tcfg.batch_size, epoch, seed=seed):
+                    yield sd, idx
+            elif multi:
+                for idx in sharded_epoch_indices(
+                        train_data.num_examples, dp, tcfg.batch_size, epoch,
+                        seed=seed):
+                    yield train_data, idx
             else:
-                yield from epoch_indices(train_data.num_examples, tcfg.batch_size,
-                                         epoch, seed=seed)
+                for idx in epoch_indices(train_data.num_examples,
+                                         tcfg.batch_size, epoch, seed=seed):
+                    yield train_data, idx
 
         best_auroc, patience, best_epoch = 0.0, 0, 0
         start_epoch = 1
@@ -649,8 +682,8 @@ class Trainer:
             for epoch in range(start_epoch, tcfg.num_epochs + 1):
                 t0 = time.time()
                 losses = []
-                for idx in _train_batches(epoch):
-                    state, m = step(state, train_data, jnp.asarray(idx), rng)
+                for resident, idx in _train_batches(epoch):
+                    state, m = step(state, resident, jnp.asarray(idx), rng)
                     losses.append(m["loss"])
                 train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else 0.0
                 vm = eval_metrics(state.params)
