@@ -180,6 +180,196 @@ def fabricate_project(root: str) -> str:
     return ckpt
 
 
+def preflight(lmdb_path: str, ckpt_path: str, cfg, parity_atol: float = 5e-3,
+              reference_arch: str = "/root/reference/src/multimodalclassification"
+                                   "/models/vilbert_facebook_arch.py") -> bool:
+    """Step 0 — validate the REAL artifacts through the native stack before
+    spending hours training (round-4 verdict missing items #2/#3: no real
+    ``detectron.lmdb`` bytes or ``pretrained_model.bin`` have ever crossed
+    these code paths). Stages, in order:
+
+      A. ``detectron.lmdb`` through the NATIVE C++ reader (python-reader
+         fallback): entry count, sampled values unpickle to feature dicts of
+         the expected rank/width, key-format probing (id / id.png /
+         zero-padded — reference lmdb_dataset.py:126-141).
+      B. the torch checkpoint through ``convert_facebook_vilbert``: key
+         coverage against the exact upstream layout (missing expected keys
+         → FAIL; unexpected non-``cls.*`` keys → FAIL), then ONE real batch
+         (stage-A features + dummy tokens) forward to finite logits.
+      C. golden forward vs the reference implementation loaded with the SAME
+         checkpoint (runs when the reference repo + torch are available and
+         the checkpoint carries a classifier head; pretraining checkpoints
+         skip C — both sides would have random heads).
+
+    Returns True when every runnable stage passes.
+    """
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    ok = True
+
+    # ---- stage A: real LMDB bytes through the native reader ----------
+    import pickle
+
+    from multimodal_classification_tpu.data.lmdb_store import (
+        LMDBFeatureStore, NativeLMDBReader, PythonLMDBReader,
+        build_native_reader,
+    )
+
+    so = build_native_reader()
+    reader = (NativeLMDBReader(lmdb_path, so) if so is not None
+              else PythonLMDBReader(lmdb_path))
+    kind = "native C++" if so is not None else "python-fallback"
+    n_entries = reader.entries
+    logger.info("preflight A: %s reader opened %s — %d entries",
+                kind, lmdb_path, n_entries)
+    if n_entries == 0:
+        logger.error("preflight A FAIL: empty LMDB")
+        return False
+    sampled = 0
+    for key, value in reader.items():
+        obj = pickle.loads(value)
+        feats = np.asarray(obj["features"] if isinstance(obj, dict) else obj)
+        if feats.ndim != 2 or feats.shape[1] not in (2048, cfg.v_feature_size):
+            logger.error("preflight A FAIL: key %r features shape %s",
+                         key, feats.shape)
+            return False
+        sampled += 1
+        if sampled >= 5:
+            break
+    store = LMDBFeatureStore(lmdb_path)
+    probe_id = key.decode().removesuffix(".png").lstrip("0") or key.decode()
+    got = store.get(probe_id)
+    if got is None:
+        got = store.get(key.decode())
+    if got is None:
+        logger.error("preflight A FAIL: key probing cannot resolve %r", key)
+        return False
+    real_feats, real_spatial = got
+    logger.info("preflight A PASS: %d values sampled, key probing resolves "
+                "(features %s)", sampled, real_feats.shape)
+
+    # ---- stage B: checkpoint through the converter -------------------
+    import jax
+    import torch
+
+    from multimodal_classification_tpu.models.convert import (
+        convert_facebook_vilbert, fabricate_facebook_state_dict, merge_params,
+    )
+    from multimodal_classification_tpu.models.vilbert import (
+        ViLBERTForClassification, dummy_batch,
+    )
+    from multimodal_classification_tpu.training.train import model_inputs
+
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model_state_dict" in sd:
+        sd = sd["model_state_dict"]
+    expected = set(fabricate_facebook_state_dict(cfg).keys())
+    real_keys = {k for k in sd if not k.startswith("cls.")}
+    head_keys = {k for k in expected if k.startswith("classifier")}
+    missing = expected - real_keys
+    has_head = not (missing & head_keys)
+    missing -= head_keys  # pretraining checkpoints legitimately lack the head
+    unexpected = real_keys - expected
+    if missing:
+        logger.error("preflight B FAIL: %d expected keys missing, e.g. %s",
+                     len(missing), sorted(missing)[:5])
+        ok = False
+    if unexpected:
+        logger.error("preflight B FAIL: %d unexpected keys, e.g. %s",
+                     len(unexpected), sorted(unexpected)[:5])
+        ok = False
+    if not ok:
+        return False
+    converted = convert_facebook_vilbert(sd, cfg)
+    model = ViLBERTForClassification(cfg)
+    r = real_feats.shape[0]
+    batch = dummy_batch(cfg, 2, 16, r)
+    batch["visual_features"] = np.broadcast_to(
+        real_feats[None].astype(np.float32), (2, r, real_feats.shape[1])
+    ).astype(batch["visual_features"].dtype)
+    batch["spatial_locations"] = np.broadcast_to(
+        real_spatial[None].astype(np.float32), (2, r, 5)
+    ).astype(batch["spatial_locations"].dtype)
+    init = model.init(jax.random.key(0), **model_inputs(batch))["params"]
+    params, n_loaded, n_total = merge_params(init, converted)
+    logger.info("preflight B: merged %d/%d param leaves from the checkpoint",
+                n_loaded, n_total)
+    out = model.apply({"params": params}, **model_inputs(batch),
+                      deterministic=True)
+    logits = np.asarray(out["logits"], np.float32)
+    if not np.isfinite(logits).all():
+        logger.error("preflight B FAIL: non-finite logits from the converted "
+                     "checkpoint on a real batch")
+        return False
+    logger.info("preflight B PASS: %d/%d keys consumed (head %s), real-batch "
+                "logits finite", len(real_keys), len(expected),
+                "present" if has_head else "absent (pretraining ckpt)")
+
+    # ---- stage C: golden forward vs the reference implementation ----
+    if not os.path.exists(reference_arch):
+        logger.info("preflight C skipped: no reference arch at %s",
+                    reference_arch)
+        return ok
+    if not has_head:
+        logger.info("preflight C skipped: pretraining checkpoint has no "
+                    "classifier head (both sides would be random)")
+        return ok
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("ref_arch", reference_arch)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # the reference model takes a plain config DICT (same mapping as
+    # tests/test_convert_parity._ref_config_dict)
+    ref_cfg = {
+        "hidden_size": cfg.hidden_size,
+        "num_attention_heads": cfg.num_attention_heads,
+        "num_hidden_layers": cfg.num_hidden_layers,
+        "intermediate_size": cfg.intermediate_size,
+        "hidden_dropout_prob": cfg.hidden_dropout_prob,
+        "attention_probs_dropout_prob": cfg.attention_probs_dropout_prob,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "vocab_size": cfg.vocab_size,
+        "v_hidden_size": cfg.v_hidden_size,
+        "v_num_attention_heads": cfg.v_num_attention_heads,
+        "v_num_hidden_layers": cfg.v_num_hidden_layers,
+        "v_intermediate_size": cfg.v_intermediate_size,
+        "v_hidden_dropout_prob": cfg.v_hidden_dropout_prob,
+        "v_attention_probs_dropout_prob": cfg.v_attention_probs_dropout_prob,
+        "num_co_attention_layers": len(cfg.co_attention_text_layers),
+        "bi_hidden_size": cfg.bi_hidden_size,
+        "v_feature_size": cfg.v_feature_size,
+        "v_loc_size": cfg.v_loc_size,
+    }
+    ref_model = mod.ViLBERTForClassification(ref_cfg, num_labels=cfg.num_labels)
+    mod.load_facebook_weights(ref_model, ckpt_path)
+    ref_model.eval()
+    with torch.no_grad():
+        inp = model_inputs(batch)
+        ref_logits = ref_model(
+            input_ids=torch.from_numpy(np.asarray(inp["input_ids"], np.int64)),
+            attention_mask=torch.from_numpy(
+                np.asarray(inp["attention_mask"], np.float32)),
+            token_type_ids=torch.from_numpy(
+                np.asarray(inp["token_type_ids"], np.int64)),
+            visual_features=torch.from_numpy(
+                np.asarray(inp["visual_features"], np.float32)),
+            visual_attention_mask=torch.from_numpy(
+                np.asarray(inp["visual_attention_mask"], np.float32)),
+            spatial_locations=torch.from_numpy(
+                np.asarray(inp["spatial_locations"], np.float32)),
+        )["logits"].numpy()
+    worst = float(np.abs(ref_logits - logits).max())
+    if worst > parity_atol:
+        logger.error("preflight C FAIL: golden forward |Δlogits| = %.2e "
+                     "(tol %.0e)", worst, parity_atol)
+        return False
+    logger.info("preflight C PASS: golden forward vs the reference torch "
+                "model, |Δlogits| = %.2e", worst)
+    return ok
+
+
 def synthetic_fullsize_gate(steps: int, lr: float, batch: int,
                             signal: float) -> int:
     """Offline stand-in for the real-data AUROC north star (VERDICT r3
@@ -343,6 +533,12 @@ def synthetic_fullsize_gate(steps: int, lr: float, batch: int,
 
 
 def main() -> int:
+    # same backend override knob as cli.py (JAX_PLATFORMS is latched by the
+    # axon sitecustomize before user code — only the config knob redirects)
+    if os.environ.get("MMC_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["MMC_PLATFORM"])
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="lmdb_repro")
     ap.add_argument("--dry-run", action="store_true",
@@ -362,6 +558,8 @@ def main() -> int:
                          "per-epoch val-AUROC trajectory against")
     ap.add_argument("--trajectory-tol", type=float, default=TRAJECTORY_TOL)
     ap.add_argument("--skip-int8-ab", action="store_true")
+    ap.add_argument("--preflight-only", action="store_true",
+                    help="stop after the artifact preflight (stage A-C)")
     args = ap.parse_args()
     if args.synthetic_fullsize:
         return synthetic_fullsize_gate(args.steps, args.lr, args.batch,
@@ -370,10 +568,12 @@ def main() -> int:
     os.makedirs(root, exist_ok=True)
 
     if args.dry_run:
-        fabricate_project(root)
+        ckpt = fabricate_project(root)
+        lmdb_path = os.path.join(root, "data/01_raw/lmdb_features/detectron.lmdb")
         band = tuple(args.band) if args.band else (0.9, 1.0 + 1e-9)
     else:
         ckpt = download_all(root)
+        lmdb_path = os.path.join(root, "data/01_raw/lmdb_features/detectron.lmdb")
         # wire the real checkpoint into the run via conf/local override
         import yaml
 
@@ -381,6 +581,21 @@ def main() -> int:
         with open(os.path.join(root, "conf/local/parameters.yml"), "w") as f:
             yaml.safe_dump({"vilbert_lmdb": {"pretrained_checkpoint": ckpt}}, f)
         band = tuple(args.band) if args.band else AUROC_BAND
+
+    # ---- step 0: preflight the artifacts through the native stack ----
+    sys.path.insert(0, REPO)
+    from multimodal_classification_tpu.config import (
+        default_parameter_paths, experiment_from_parameters, load_parameters,
+    )
+
+    params_all = load_parameters(*default_parameter_paths(root))
+    ex_cfg = experiment_from_parameters(params_all, variant="lmdb")
+    if not preflight(lmdb_path, ckpt, ex_cfg.model):
+        logger.error("preflight FAILED — not launching the training run")
+        return 1
+    if args.preflight_only:
+        logger.info("preflight PASSED (--preflight-only: stopping here)")
+        return 0
 
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
