@@ -125,7 +125,7 @@ def _backend_watchdog(timeout_s: float):
     return timer.cancel
 
 
-def setup(k: int = 10, stacked: bool | None = None):
+def setup(k: int = 10, stacked: bool | None = None, want_parts: bool = False):
     """Build the bench configuration: device-resident data, jitted K-step
     train step, initial state and the index-block iterator. Shared by the
     throughput measurement (main) and scripts/profile_step.py."""
@@ -179,12 +179,18 @@ def setup(k: int = 10, stacked: bool | None = None):
     print(f"host ingest: {time.perf_counter() - t0:.1f}s", file=sys.stderr,
           flush=True)
 
-    # upload the tensorised dataset to HBM (bf16 wire dtype), once
+    # upload the tensorised dataset to HBM (bf16 wire dtype), once.
+    # BENCH_FEATURE_DTYPE=int8 stores features int8 + per-(example,region)
+    # scales (data/device_cache.py) — halves upload bytes + HBM residency;
+    # the gather dequantises to bf16 on device (A/B arm "int8data")
     t0 = time.perf_counter()
-    data = build_device_data(ds, feature_dtype=jnp.bfloat16)
+    feat_dtype = (jnp.int8 if os.environ.get("BENCH_FEATURE_DTYPE") == "int8"
+                  else jnp.bfloat16)
+    data = build_device_data(ds, feature_dtype=feat_dtype)
     jax.block_until_ready(data.visual_features)
     print(f"device upload: {time.perf_counter() - t0:.1f}s "
-          f"({data.visual_features.nbytes / 1e6:.0f} MB features)",
+          f"({data.visual_features.nbytes / 1e6:.0f} MB features, "
+          f"{jnp.dtype(feat_dtype).name})",
           file=sys.stderr, flush=True)
 
     # BENCH_STACKED=1: scan-over-layers encoder (config.stacked_encoder) —
@@ -238,10 +244,15 @@ def setup(k: int = 10, stacked: bool | None = None):
     finally:
         stop_beat()
     print("params initialized", file=sys.stderr, flush=True)
-    # BENCH_SLAB: flat-slab params/optimizer A/B (training/flat_slab.py) —
+    # BENCH_SLAB: flat-slab params/optimizer (training/flat_slab.py) —
     # "1" slabs leaves ≤64 KB (biases/LN + their moments → a handful of
     # contiguous buffers), "all" slabs every leaf including matmul weights
-    slab_mode = os.environ.get("BENCH_SLAB", "0")
+    # (REFUTED on v5e: 30 GB pathological tile layout — PERFORMANCE.md).
+    # Default ON for the headline (round-5 A/B: slab won every rep pair —
+    # 21.34/21.46/21.50 vs 21.52/21.58/22.16 ms/step, loss identical);
+    # the stacked budget-fallback keeps the per-leaf program its committed
+    # compile cache was built for.
+    slab_mode = os.environ.get("BENCH_SLAB", "0" if stacked else "1")
     slab_spec = None
     if slab_mode not in ("0", ""):
         from multimodal_classification_tpu.training.flat_slab import (
@@ -284,6 +295,11 @@ def setup(k: int = 10, stacked: bool | None = None):
                     block = []
             e += 1
 
+    if want_parts:
+        return step, state, data, index_blocks(), rng_key, K, {
+            "model": model, "loss_fn": loss_fn, "tx": tx, "ds": ds,
+            "bucket": bucket, "params": params,
+        }
     return step, state, data, index_blocks(), rng_key, K
 
 

@@ -322,6 +322,13 @@ class TrainingConfig:
     # (data/rotation.py) instead of silently falling back to the
     # transfer-bound host-fed loader (~17× slower on this relay, round 1).
     device_cache_max_bytes: Optional[int] = None
+    # Flat-slab params/optimizer (training/flat_slab.py): small param leaves
+    # + Adam moments live as contiguous per-dtype buffers through the whole
+    # step. Measured +0.8% at the flagship config (within relay variance —
+    # see docs/PERFORMANCE.md); single-chip device-resident path only,
+    # incompatible with freeze_bert_layers. Checkpoints stay in the
+    # canonical per-leaf layout either way.
+    flat_slab: bool = False
 
 
 @dataclass(frozen=True)

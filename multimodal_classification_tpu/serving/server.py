@@ -538,6 +538,17 @@ class _MicroBatcher:
         self.linger_s = linger_ms / 1000.0
         self.q: "queue.Queue" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "max_batch": 0}
+        # per-phase host-time attribution (seconds, count) — answers WHERE a
+        # request's latency goes (round-4 weak #5: ~12 ms of online p50 was
+        # unattributed above relay-roundtrip + compute):
+        #   collect   first-dequeue → dispatch decision (linger / busy-wait)
+        #   group     seq-bucket grouping (tokenize pass 1)
+        #   dispatch  predict_async (tokenize pass 2 + pad + upload + enqueue)
+        #   device    finish() blocking on the device result (roundtrip+compute)
+        #   resolve   future set_result loop (client-thread wakeup handoff)
+        self.phases: Dict[str, list] = {
+            k: [0.0, 0] for k in
+            ("collect", "group", "dispatch", "device", "resolve")}
         # ring buffer of recent request latencies (enqueue → result), seconds
         self._lat = [0.0] * 1024
         self._lat_n = 0
@@ -566,6 +577,26 @@ class _MicroBatcher:
             "latency_ms_mean": round(float(lat.mean()), 3),
         }
 
+    def phase_stats(self) -> Dict[str, float]:
+        """Mean ms per BATCH of each pipeline phase (see ``phases``)."""
+        out = {}
+        for k, (total, count) in self.phases.items():
+            if count:
+                out[f"phase_{k}_ms_mean"] = round(total / count * 1000.0, 3)
+        return out
+
+    def _phase(self, name: str, dt: float):
+        p = self.phases[name]
+        p[0] += dt
+        p[1] += 1
+
+    def reset_stats(self):
+        """Zero the latency ring + phase accumulators (benches call this
+        between modes so each mode's attribution is its own)."""
+        self._lat_n = 0
+        for p in self.phases.values():
+            p[0], p[1] = 0.0, 0
+
     def _record_latency(self, t_enq: float):
         self._lat[self._lat_n % len(self._lat)] = time.perf_counter() - t_enq
         self._lat_n += 1
@@ -581,8 +612,9 @@ class _MicroBatcher:
                 first = self.q.get(timeout=0.1)
             except queue.Empty:
                 continue
+            t_first = time.perf_counter()
             items = [first]
-            deadline = time.perf_counter() + self.linger_s
+            deadline = t_first + self.linger_s
             while (len(items) < self.serving.batch_size
                    and not self._stop.is_set()):
                 try:
@@ -603,16 +635,21 @@ class _MicroBatcher:
                     break
                 self._stop.wait(0.0005)
             self.stats["requests"] += len(items)
+            self._phase("collect", time.perf_counter() - t_first)
             texts = [str(i.get("text", "")) for i, _, _ in items]
             # length-grouped dispatch: each seq bucket gets its own batch so
             # one long request doesn't drag co-arriving short ones onto the
             # longest compiled program
-            for idx in self.serving.group_by_bucket(texts):
+            t_g = time.perf_counter()
+            groups = self.serving.group_by_bucket(texts)
+            self._phase("group", time.perf_counter() - t_g)
+            for idx in groups:
                 insts = [items[i][0] for i in idx]
                 futs = [items[i][1] for i in idx]
                 enq_ts = [items[i][2] for i in idx]
                 self.stats["batches"] += 1
                 self.stats["max_batch"] = max(self.stats["max_batch"], len(idx))
+                t_d = time.perf_counter()
                 try:
                     handle = self.serving.predict_async(
                         [texts[i] for i in idx], insts)
@@ -622,6 +659,7 @@ class _MicroBatcher:
                         if not f.done():
                             f.set_exception(e)
                     continue
+                self._phase("dispatch", time.perf_counter() - t_d)
                 # blocks when pipeline_depth dispatches are in flight
                 self._pending.put((handle, futs, enq_ts))
 
@@ -650,13 +688,17 @@ class _MicroBatcher:
                     return
                 continue
             try:
+                t_w = time.perf_counter()
                 probs = self.serving.finish(handle)
+                t_r = time.perf_counter()
+                self._phase("device", t_r - t_w)
                 for f, p, t0 in zip(futs, probs, enq_ts):
                     f.set_result({
                         "probability": float(p[1]),
                         "prediction": int(np.argmax(p)),
                     })
                     self._record_latency(t0)
+                self._phase("resolve", time.perf_counter() - t_r)
             except Exception as e:  # pragma: no cover - surfaced to client
                 logger.exception("batch failed")
                 for f in futs:
@@ -704,10 +746,12 @@ class InferenceServer:
             def do_GET(self):
                 if self.path == "/healthz":
                     self._send(200, {"status": "ok", **batcher.stats,
-                                     **batcher.latency_stats()})
+                                     **batcher.latency_stats(),
+                                     **batcher.phase_stats()})
                 elif self.path == "/metrics":
                     # Prometheus text exposition format
-                    stats = {**batcher.stats, **batcher.latency_stats()}
+                    stats = {**batcher.stats, **batcher.latency_stats(),
+                             **batcher.phase_stats()}
                     lines = []
                     for k, v in stats.items():
                         name = f"mmc_serving_{k}"

@@ -550,6 +550,22 @@ class Trainer:
             steps_per_epoch = max(train_data.num_examples // tcfg.batch_size, 1)
         total_steps = steps_per_epoch * tcfg.num_epochs
         tx = make_optimizer(tcfg, total_steps, init_params, self.cfg.freeze_bert_layers)
+        slab_spec = None
+        if getattr(tcfg, "flat_slab", False) and not multi:
+            # contiguous per-dtype param/moment buffers (training/flat_slab.py)
+            if self.cfg.freeze_bert_layers > 0:
+                raise ValueError(
+                    "flat_slab is incompatible with freeze_bert_layers "
+                    "(multi_transform labels are per-leaf)")
+            from multimodal_classification_tpu.training.flat_slab import (
+                plan_slabs, slab_pack,
+            )
+
+            slab_spec = plan_slabs(init_params)
+            init_params = slab_pack(init_params, slab_spec)
+            logger.info("flat-slab optimizer: %d small leaves slabbed, "
+                        "%d kept per-leaf", len(slab_spec.small),
+                        len(slab_spec.large_positions))
         if multi:
             # params carry the TP rules (replicated when mp == 1 — every rule
             # spec is size-1 on a degenerate mp axis); the shard_map gather
@@ -572,10 +588,12 @@ class Trainer:
             opt_state = tx.init(init_params)
             step = jax.jit(
                 make_device_train_step(self.model, self.loss_fn, tx, seq_bucket=bucket,
-                                       grads_dtype=tcfg.grads_dtype),
+                                       grads_dtype=tcfg.grads_dtype,
+                                       slab_spec=slab_spec),
                 donate_argnums=0,
             )
-            eval_step = jax.jit(make_device_eval_step(self.model, seq_bucket=bucket))
+            eval_step = jax.jit(make_device_eval_step(self.model, seq_bucket=bucket,
+                                                      slab_spec=slab_spec))
         state = TrainState(jnp.zeros((), jnp.int32), init_params, opt_state)
         rng = jax.random.key(seed, impl=tcfg.rng_impl)
 
@@ -631,14 +649,35 @@ class Trainer:
                                          tcfg.batch_size, epoch, seed=seed):
                     yield train_data, idx
 
+        # checkpoints always use the canonical per-leaf layout: a flat-slab
+        # run saves/restores through these converters, so its checkpoints
+        # interchange freely with non-slab runs
+        if slab_spec is not None:
+            from multimodal_classification_tpu.training.flat_slab import (
+                slab_state_to_tree, tree_state_to_slab,
+            )
+
+            def _to_disk(st):
+                return slab_state_to_tree(st, slab_spec)
+
+            def _from_disk(slab_template, st):
+                return tree_state_to_slab(slab_template, st, slab_spec)
+        else:
+            def _to_disk(st):
+                return st
+
+            def _from_disk(_slab_template, st):
+                return st
+
         best_auroc, patience, best_epoch = 0.0, 0, 0
         start_epoch = 1
         if resume and self.ckpt.exists("last"):
             template = {
-                "state": state,
+                "state": _to_disk(state),
                 "meta": {"epoch": 0, "best_auroc": 0.0, "patience": 0, "best_epoch": 0},
             }
             restored = self.ckpt.restore("last", template)
+            restored["state"] = _from_disk(state, restored["state"])
             if multi:
                 from multimodal_classification_tpu.parallel.mesh import replicated
 
@@ -671,7 +710,7 @@ class Trainer:
 
         def _save_last(epoch):
             self.ckpt.save("last", {
-                "state": state,
+                "state": _to_disk(state),
                 "meta": {"epoch": epoch, "best_auroc": float(best_auroc),
                          "patience": int(patience), "best_epoch": int(best_epoch)},
             })
@@ -703,7 +742,8 @@ class Trainer:
                 stop = False
                 if vm["auroc"] > best_auroc:
                     best_auroc, best_epoch, patience = vm["auroc"], epoch, 0
-                    self.ckpt.save("best", {"params": state.params, "epoch": epoch,
+                    self.ckpt.save("best", {"params": _to_disk(state).params,
+                                            "epoch": epoch,
                                             "val_auroc": best_auroc})
                 else:
                     patience += 1
@@ -718,6 +758,9 @@ class Trainer:
                     logger.info("early stopping at epoch %d (best %.4f @ %d)",
                                 epoch, best_auroc, best_epoch)
                     break
+        if slab_spec is not None:
+            # hand the caller the canonical layout (pipelines save/export it)
+            state = _to_disk(state)
         if self.ckpt.exists("best"):
             restored = self.ckpt.restore("best")
             state = TrainState(state.step, restored["params"], state.opt_state)

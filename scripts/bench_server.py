@@ -102,6 +102,7 @@ def drive(server, mode: str, n_requests: int, concurrency: int,
 
     threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                for w in range(concurrency)]
+    server.batcher.reset_stats()
     t0 = time.perf_counter()
     for t in threads:
         t.start()
@@ -117,7 +118,8 @@ def drive(server, mode: str, n_requests: int, concurrency: int,
         t.join(timeout=max(client_timeout, 30))
     dt = time.perf_counter() - t0
     total = sum(counts)
-    stats = server.batcher.latency_stats()
+    stats = {**server.batcher.latency_stats(),
+             **server.batcher.phase_stats()}
     return {
         "mode": mode,
         "concurrency": concurrency,

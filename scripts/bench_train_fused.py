@@ -54,13 +54,18 @@ VARIANT_ENVS = {
     # every leaf slabbed (matmul weights become views into one buffer)
     "slab_all": {"BENCH_SLAB": "all", "BENCH_FFN_TRAIN": "0",
                  "BENCH_ATTN_TRAIN": "1", "MMC_ATTN_TRAIN_SPLIT": "0"},
+    # int8-stored device-resident features (dequantised to bf16 in-gather):
+    # halves the dataset upload + HBM residency — measures the step-time
+    # cost of the dequant against the shipping bf16 storage
+    "int8data": {"BENCH_FEATURE_DTYPE": "int8", "BENCH_FFN_TRAIN": "0",
+                 "BENCH_ATTN_TRAIN": "1", "MMC_ATTN_TRAIN_SPLIT": "0"},
 }
 
 
 def _reset_env():
     """Variants must not inherit a previous variant's knobs."""
     for k in ("BENCH_SLAB", "BENCH_FFN_TRAIN", "BENCH_ATTN_TRAIN",
-              "MMC_ATTN_TRAIN_SPLIT"):
+              "MMC_ATTN_TRAIN_SPLIT", "BENCH_FEATURE_DTYPE"):
         os.environ.pop(k, None)
 
 
@@ -104,11 +109,18 @@ def main():
     out = []
     for r in range(reps):
         for v in variants:
-            rec = measure(v)
+            try:
+                rec = measure(v)
+            except Exception as e:  # one broken variant must not kill the run
+                rec = {"variant": v, "error": repr(e)[:500]}
+                print(f"[{v}] FAILED: {e!r}", file=sys.stderr, flush=True)
             rec["rep"] = r
             out.append(rec)
             print(json.dumps(rec), flush=True)
-    best = min(out, key=lambda r: r["ms_per_step"])
+    ok = [r for r in out if "ms_per_step" in r]
+    if not ok:
+        return
+    best = min(ok, key=lambda r: r["ms_per_step"])
     print(f"best: {best['variant']} @ {best['ms_per_step']} ms/step",
           file=sys.stderr, flush=True)
 

@@ -209,3 +209,51 @@ def test_slabbed_is_pytree():
     s2 = jax.tree.map(lambda x: x + 1, s)
     assert isinstance(s2, Slabbed)
     np.testing.assert_array_equal(np.asarray(s2.packs["float32"]), np.ones(4))
+
+
+def test_trainer_flat_slab_end_to_end_and_ckpt_interchange(tmp_path):
+    """Trainer.fit_device_resident with flat_slab=True: runs, learns, and its
+    checkpoints INTERCHANGE with non-slab runs (canonical on-disk layout) —
+    train 2 epochs slabbed, resume 2 more un-slabbed, and vice versa."""
+    from multimodal_classification_tpu.config import (
+        DataConfig, ExperimentConfig, TrainingConfig,
+    )
+    from multimodal_classification_tpu.training.train import Trainer
+    from tests.test_device_cache import _dataset
+
+    cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False,
+                              v_feature_size=32)
+    model = ViLBERTForClassification(cfg)
+    ds = _dataset(32)
+    batch0 = {k: np.stack([ds.get(i)[k] for i in range(2)]) for k in ds.get(0)}
+    params0 = jax.tree.map(
+        np.asarray, model.init(jax.random.key(0), **model_inputs(batch0))["params"])
+
+    def run(ckpt_dir, *, flat_slab, num_epochs, resume=False):
+        tcfg = TrainingConfig(batch_size=8, num_epochs=num_epochs,
+                              learning_rate=5e-4, warmup_steps=3,
+                              early_stopping_patience=50, mesh_shape=(1, 1),
+                              checkpoint_dir=ckpt_dir, flat_slab=flat_slab)
+        ex = ExperimentConfig(name="fs", model=cfg, training=tcfg,
+                              data=DataConfig())
+        trainer = Trainer(model, ex, checkpoint_dir=ckpt_dir)
+        return trainer.fit_device_resident(
+            ds, ds, jax.tree.map(np.copy, params0), resume=resume)
+
+    # slab run end-to-end; returned state is canonical layout
+    state, hist = run(str(tmp_path / "a"), flat_slab=True, num_epochs=2)
+    assert np.isfinite(hist["train_loss"]).all()
+    ref_tree = jax.tree.structure(params0)
+    assert jax.tree.structure(
+        jax.tree.map(np.asarray, state.params)) == ref_tree
+
+    # slab checkpoint → non-slab resume
+    _state2, hist2 = run(str(tmp_path / "a"), flat_slab=False, num_epochs=4,
+                         resume=True)
+    assert len(hist2["train_loss"]) == 4
+
+    # non-slab checkpoint → slab resume
+    run(str(tmp_path / "b"), flat_slab=False, num_epochs=2)
+    _state3, hist3 = run(str(tmp_path / "b"), flat_slab=True, num_epochs=4,
+                         resume=True)
+    assert len(hist3["train_loss"]) == 4
