@@ -27,6 +27,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# this script builds its own per-leaf single-step programs from setup()'s
+# parts — the bench headline's flat-slab default would hand us slab-form
+# params they can't consume
+os.environ["BENCH_SLAB"] = "0"
+
 MEASURE_STEPS = int(os.environ.get("MESH_AB_STEPS", "50"))
 WARMUP = 3
 

@@ -22,6 +22,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# per-leaf params for this script's own steps (see bench_mesh_overhead.py)
+os.environ["BENCH_SLAB"] = "0"
+
 
 def main() -> int:
     import bench
