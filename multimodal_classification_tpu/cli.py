@@ -112,6 +112,12 @@ def main(argv=None) -> int:
                          help="per-request deadline (s): must exceed the "
                               "worst-case queue wait or timed-out retries "
                               "pile onto the backlog")
+    serve_p.add_argument("--busy-hold-ms", type=float, default=None,
+                         help="cap on collect-while-busy after the linger "
+                              "expires (default: hold until the in-flight "
+                              "batch completes — the throughput policy; a "
+                              "small cap trades batch size for latency at "
+                              "low concurrency)")
     serve_p.add_argument("--int8", action="store_true",
                          help="int8 MXU serving path (throughput configs)")
     serve_p.add_argument(
@@ -341,7 +347,8 @@ def main(argv=None) -> int:
         serving.warmup()
         server = InferenceServer(serving, args.host, args.port,
                                  linger_ms=args.linger_ms,
-                                 request_timeout_s=args.request_timeout)
+                                 request_timeout_s=args.request_timeout,
+                                 busy_hold_ms=args.busy_hold_ms)
         server.serve_forever()
         return 0
 

@@ -533,9 +533,17 @@ class _MicroBatcher:
     (the queue put blocks when full, which is the backpressure)."""
 
     def __init__(self, serving: ServingModel, linger_ms: float = 5.0,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2,
+                 busy_hold_ms: Optional[float] = None):
         self.serving = serving
         self.linger_s = linger_ms / 1000.0
+        # After the linger expires with a batch in flight, keep collecting
+        # for at most this long before dispatching anyway (None = hold until
+        # the in-flight batch completes — the throughput policy; a finite
+        # cap trades batch size for latency at low concurrency, where the
+        # hold was measured as ~15 ms of the 44 ms online p50).
+        self.busy_hold_s = (None if busy_hold_ms is None
+                            else busy_hold_ms / 1000.0)
         self.q: "queue.Queue" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "max_batch": 0}
         # per-phase host-time attribution (seconds, count) — answers WHERE a
@@ -629,10 +637,17 @@ class _MicroBatcher:
                 # per-dispatch cost (~29 ms roundtrip on this link) again,
                 # while every request collected here rides one program free
                 # (measured: eager depth-2 dispatch gave mean batch 6.6 and
-                # 211 rps where collect-while-busy gives ~15 and ~290)
-                if (time.perf_counter() >= deadline
-                        and self._pending.unfinished_tasks == 0):
-                    break
+                # 211 rps where collect-while-busy gives ~15 and ~290).
+                # busy_hold_s bounds that wait for latency-sensitive
+                # deployments (round-5 breakdown: the hold is ~15 ms of the
+                # 44 ms online p50 at 4 connections).
+                now = time.perf_counter()
+                if now >= deadline:
+                    if self._pending.unfinished_tasks == 0:
+                        break
+                    if (self.busy_hold_s is not None
+                            and now >= deadline + self.busy_hold_s):
+                        break
                 self._stop.wait(0.0005)
             self.stats["requests"] += len(items)
             self._phase("collect", time.perf_counter() - t_first)
@@ -717,8 +732,10 @@ class InferenceServer:
 
     def __init__(self, serving: ServingModel, host: str = "127.0.0.1",
                  port: int = 8000, linger_ms: float = 5.0,
-                 request_timeout_s: float = 30.0):
-        self.batcher = _MicroBatcher(serving, linger_ms)
+                 request_timeout_s: float = 30.0,
+                 busy_hold_ms: Optional[float] = None):
+        self.batcher = _MicroBatcher(serving, linger_ms,
+                                     busy_hold_ms=busy_hold_ms)
         batcher = self.batcher
         # per-request future deadline: must exceed the worst-case queue wait
         # (compiled-batch dispatch time × queued batches) or timed-out

@@ -554,18 +554,22 @@ class Trainer:
         if getattr(tcfg, "flat_slab", False) and not multi:
             # contiguous per-dtype param/moment buffers (training/flat_slab.py)
             if self.cfg.freeze_bert_layers > 0:
-                raise ValueError(
-                    "flat_slab is incompatible with freeze_bert_layers "
-                    "(multi_transform labels are per-leaf)")
-            from multimodal_classification_tpu.training.flat_slab import (
-                plan_slabs, slab_pack,
-            )
+                # multi_transform's freeze labels are per-leaf — fall back to
+                # the per-leaf optimizer rather than failing the ablation
+                # configs that inherit a flat_slab training block
+                logger.info("flat_slab disabled: freeze_bert_layers=%d "
+                            "partitions per-leaf", self.cfg.freeze_bert_layers)
+                slab_spec = None
+            else:
+                from multimodal_classification_tpu.training.flat_slab import (
+                    plan_slabs, slab_pack,
+                )
 
-            slab_spec = plan_slabs(init_params)
-            init_params = slab_pack(init_params, slab_spec)
-            logger.info("flat-slab optimizer: %d small leaves slabbed, "
-                        "%d kept per-leaf", len(slab_spec.small),
-                        len(slab_spec.large_positions))
+                slab_spec = plan_slabs(init_params)
+                init_params = slab_pack(init_params, slab_spec)
+                logger.info("flat-slab optimizer: %d small leaves slabbed, "
+                            "%d kept per-leaf", len(slab_spec.small),
+                            len(slab_spec.large_positions))
         if multi:
             # params carry the TP rules (replicated when mp == 1 — every rule
             # spec is size-1 on a degenerate mp axis); the shard_map gather

@@ -219,9 +219,11 @@ def main() -> int:
     # upload over the ~20 MB/s relay link (~1.3 s at batch 64 bf16), so the
     # queue-wait under full concurrency far exceeds the 30 s product default
     req_timeout = float(os.environ.get("SERVER_REQUEST_TIMEOUT", "240"))
+    hold = os.environ.get("SERVER_BUSY_HOLD_MS")
     for mode in os.environ.get("SERVER_MODES", "batch,single").split(","):
         server = InferenceServer(sm, port=0, linger_ms=linger,
-                                 request_timeout_s=req_timeout)
+                                 request_timeout_s=req_timeout,
+                                 busy_hold_ms=float(hold) if hold else None)
         server.start()
         try:
             result = drive(server, mode, n_requests, concurrency, batch, text,

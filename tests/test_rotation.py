@@ -151,3 +151,24 @@ def test_trainer_fit_with_small_cap_end_to_end(tmp_path):
     assert len(history["train_loss"]) == 2
     assert np.isfinite(history["train_loss"]).all()
     assert len(history["val_auroc"]) == 2
+
+
+def test_rotation_with_int8_feature_storage():
+    """int8-stored features (feature_scales field) rotate correctly: shard
+    gathers dequantise to the same values the full-resident int8 path
+    yields for the same global indices."""
+    ds = _dataset(24)
+    fields, mtl = tensorise_host(ds, jnp.int8)
+    assert "feature_scales" in fields
+    full = build_device_data(ds, feature_dtype=jnp.int8)
+    cap = int(dataset_nbytes(fields) * 2 / 3)
+    rot = RotatingDeviceData(fields, mtl, cap, batch_size=4)
+    assert rot.num_shards >= 3
+    for sd, local, gidx in rot.epoch_batches(4, epoch=2, seed=9):
+        a = sd.gather(jnp.asarray(local))
+        b = full.gather(jnp.asarray(gidx))
+        np.testing.assert_array_equal(
+            np.asarray(a["visual_features"], np.float32),
+            np.asarray(b["visual_features"], np.float32))
+        np.testing.assert_array_equal(np.asarray(a["labels"]),
+                                      np.asarray(b["labels"]))
