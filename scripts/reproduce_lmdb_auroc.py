@@ -371,17 +371,25 @@ def preflight(lmdb_path: str, ckpt_path: str, cfg, parity_atol: float = 5e-3,
 
 
 def synthetic_fullsize_gate(steps: int, lr: float, batch: int,
-                            signal: float) -> int:
+                            signal: float, signal_mode: str = "linear") -> int:
     """Offline stand-in for the real-data AUROC north star (VERDICT r3
     missing #2): prove the FULL Facebook-size model (12×768 / 6×1024,
     ~250 M params) LEARNS under the real training stack — bf16 compute,
     fp32-parity AdamW with bf16 moments, text bucketing, device-resident
     data — not merely that the step runs.
 
-    Fabricates a linearly separable dataset at the reference shapes
-    ([100, 2048] features, 128-token texts; signal: the first 64 feature
-    channels shift by ±signal/2 with the label), trains ``steps`` real TPU
-    steps at the bench configuration, then gates:
+    Fabricates a synthetic dataset at the reference shapes ([100, 2048]
+    features, 128-token texts). ``signal_mode``:
+      - "linear": the first 64 feature channels shift by ±signal/2 with the
+        label (separable — proves the optimization machinery works);
+      - "xor": two channel groups shift INDEPENDENTLY by ±signal/2 and the
+        label is the sign PARITY of the two shifts — each group's marginal
+        is identical for both labels, so NO linear readout of the raw
+        features carries any signal; fitting it requires the model to
+        compute a feature interaction (round-4 verdict weak #7: AUROC 1.0
+        on the separable signal must not be read as evidence the stack fits
+        hard signal — this mode is the non-separable counterpart).
+    Trains ``steps`` real TPU steps at the bench configuration, then gates:
       - final train loss < 0.5  (crossed away from ln 2), and
       - held-out synthetic AUROC ≥ 0.95.
     Matches the reference hot loop nodes.py:712-841 structurally; the LR is
@@ -440,7 +448,16 @@ def synthetic_fullsize_gate(steps: int, lr: float, batch: int,
     ids = [str(20000 + i) for i in range(n)]
     for i, ex_id in enumerate(ids):
         f = rng.standard_normal((100, 2048)).astype(np.float32)
-        f[:, :64] += (labels[i] - 0.5) * signal
+        if signal_mode == "xor":
+            # independent ±signal/2 shifts on two channel groups; label =
+            # sign parity → zero marginal signal per group (see docstring)
+            sa = float(rng.choice([-1.0, 1.0]))
+            sb = float(rng.choice([-1.0, 1.0]))
+            f[:, :32] += sa * signal / 2
+            f[:, 32:64] += sb * signal / 2
+            labels[i] = 1 if sa * sb > 0 else 0
+        else:
+            f[:, :64] += (labels[i] - 0.5) * signal
         feats[ex_id] = f
         spatial[ex_id] = rng.uniform(0, 1, (100, 5)).astype(np.float32)
     words = ["the", "meme", "is", "a", "this", "people", "love", "hate"]
@@ -550,6 +567,10 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--lr", type=float, default=5e-5)
     ap.add_argument("--signal", type=float, default=2.0)
+    ap.add_argument("--signal-mode", choices=("linear", "xor"),
+                    default="linear",
+                    help="xor: non-separable sign-parity signal (no linear "
+                         "readout of the raw features works)")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--band", nargs=2, type=float, default=None,
                     help="override the AUROC gate [lo hi]")
@@ -563,7 +584,7 @@ def main() -> int:
     args = ap.parse_args()
     if args.synthetic_fullsize:
         return synthetic_fullsize_gate(args.steps, args.lr, args.batch,
-                                       args.signal)
+                                       args.signal, args.signal_mode)
     root = os.path.abspath(args.root)
     os.makedirs(root, exist_ok=True)
 
