@@ -434,3 +434,20 @@ def test_cached_path_with_batch_sizes_and_buckets(serving):
                              batch_size=4).predict(long, [{"id": "42"}])
     np.testing.assert_allclose(sm.predict(long, [{"id": "42"}]), host_long,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_busy_hold_cap_dispatches_while_busy(serving):
+    """busy_hold_ms=0 must dispatch after the linger even with a batch in
+    flight (the latency knob); default (None) behavior is covered by the
+    other micro-batcher tests."""
+    from multimodal_classification_tpu.serving.server import _MicroBatcher
+
+    _cfg, _model, _params, _store, _tok, sm = serving
+    b = _MicroBatcher(sm, linger_ms=1.0, busy_hold_ms=0.0)
+    try:
+        futs = [b.submit({"text": "a meme"}) for _ in range(6)]
+        out = [f.result(timeout=60) for f in futs]
+        assert all(0.0 <= r["probability"] <= 1.0 for r in out)
+        assert b.stats["requests"] == 6
+    finally:
+        b.close()
