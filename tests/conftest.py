@@ -110,6 +110,35 @@ _SLOW_TESTS = {
     "test_rotation.py::test_trainer_fit_with_small_cap_end_to_end",          # 22s
     "test_export.py::test_exported_predict_parity",                          # 20s
     "test_bench_orchestration.py::test_main_upgrades_fallback_to_headline",  # 19s
+    # round-5 second cut, measured IDLE (--durations on the quiet host;
+    # idle times run ~half the under-load ones): the ≥8 s idle band. A
+    # CPU-side persistent JAX compile cache was probed as the alternative
+    # and REFUTED on this host (XLA:CPU AOT entries are rejected with a
+    # machine-feature mismatch on reload — no speedup), so tier rebalance
+    # is the lever; every family keeps faster siblings in the fast tier
+    # and the full suite remains the CI gate.
+    "test_flops.py::test_train_step_count_brackets_xla",                     # 26s idle
+    "test_extractors.py::TestViTExtractors::test_dinov2_multilayer_fusions[concat]",  # 21s
+    "test_fused_ffn_train.py::TestModelWiring::test_param_tree_unchanged_and_train_dispatches",  # 20s
+    "test_extractors.py::TestConverters::test_torchvision_resnet_conversion_structure",  # 16s
+    "test_cli.py::test_doctor_distinguishes_stalled_relay_from_down_relay",  # 15s
+    "test_fused_attn_block.py::TestModelWiring::test_training_path_unchanged",  # 14s
+    "test_fused_co_block.py::TestModelWiring::test_param_tree_untouched_and_logits_match",  # 14s
+    "test_export.py::test_exported_calibrated_int8_parity",                  # 13s
+    "test_serving.py::test_mesh_sharded_serving_int8_and_batch_divisibility",  # 13s
+    "test_stacked_encoder.py::TestParity::test_forward_parity_eval",         # 13s
+    "test_stacked_encoder.py::TestParity::test_forward_parity_core_variant",  # 13s
+    "test_fused_attn_block.py::TestModelWiring::test_param_tree_untouched_and_logits_match",  # 12s+12s setup
+    "test_bench_orchestration.py::test_spawn_keeps_banked_json_if_child_later_hangs",  # 12s
+    "test_fused_layer.py::TestModelWiring::test_param_tree_untouched_and_float_path_falls_back",  # 12s
+    "test_flops.py::test_forward_count_brackets_xla",                        # 12s
+    "test_fused_co_block.py::TestModelWiring::test_training_path_unchanged",  # 10s
+    "test_quant.py::test_calibrated_static_scales_track_float",              # 10s
+    "test_convert_core.py::test_fabricated_facebook_state_dict_full_merge",  # 10s
+    "test_export.py::test_self_contained_artifact_and_checksum",             # 9s
+    "test_fused_layer.py::TestModelWiring::test_training_path_unchanged",    # 9s
+    "test_export.py::test_http_server_over_artifact",                        # 8s
+    "test_fused_ffn_train.py::TestStrategies::test_cols_multichunk_forward_and_grads",  # 8s
 }
 
 
