@@ -172,3 +172,27 @@ def test_rotation_with_int8_feature_storage():
             np.asarray(b["visual_features"], np.float32))
         np.testing.assert_array_equal(np.asarray(a["labels"]),
                                       np.asarray(b["labels"]))
+
+
+def test_double_buffer_uploads_each_shard_once_per_epoch(monkeypatch):
+    """The prefetched next shard must be REUSED when its turn comes (not
+    re-uploaded): count device_put calls across one epoch."""
+    import jax as _jax
+    from multimodal_classification_tpu.data import rotation as rot_mod
+
+    ds = _dataset(24)
+    r = _rotating(ds, shards_wanted=3, batch_size=4)
+    n_fields = len(r.fields)
+    calls = {"n": 0}
+    real_put = _jax.device_put
+
+    def counting_put(x, *a, **k):
+        calls["n"] += 1
+        return real_put(x, *a, **k)
+
+    monkeypatch.setattr(rot_mod.jax, "device_put", counting_put)
+    for _ in r.epoch_batches(4, epoch=0, seed=3):
+        pass
+    # one device_put per field per shard — the double-buffer prefetch is
+    # consumed, never thrown away and re-uploaded
+    assert calls["n"] == r.num_shards * n_fields, (calls["n"], r.num_shards)
