@@ -139,6 +139,7 @@ _SLOW_TESTS = {
     "test_fused_layer.py::TestModelWiring::test_training_path_unchanged",    # 9s
     "test_export.py::test_http_server_over_artifact",                        # 8s
     "test_fused_ffn_train.py::TestStrategies::test_cols_multichunk_forward_and_grads",  # 8s
+    "test_rotation.py::test_rotation_resume_continues_trajectory",           # 3 Trainer fits
 }
 
 

@@ -257,3 +257,45 @@ def test_trainer_flat_slab_end_to_end_and_ckpt_interchange(tmp_path):
     _state3, hist3 = run(str(tmp_path / "b"), flat_slab=True, num_epochs=4,
                          resume=True)
     assert len(hist3["train_loss"]) == 4
+
+
+def test_fuzz_random_trees_round_trip_and_vjp():
+    """Randomized structures: nested dicts with mixed dtypes/shapes must
+    round-trip bit-exactly at every threshold, and the custom-vjp backward
+    must equal the repacked per-leaf gradient."""
+    rng = np.random.default_rng(7)
+    dtypes = [jnp.float32, jnp.bfloat16, jnp.int32]
+    for trial in range(8):
+        tree = {}
+        n_leaves = int(rng.integers(3, 12))
+        for i in range(n_leaves):
+            shape = tuple(int(s) for s in
+                          rng.integers(1, 40, size=int(rng.integers(1, 4))))
+            dt = dtypes[int(rng.integers(0, len(dtypes)))]
+            arr = jnp.asarray(rng.standard_normal(shape) * 10, dt)
+            d = tree
+            for part in [f"l{int(x)}" for x in
+                         rng.integers(0, 3, size=int(rng.integers(1, 3)))]:
+                d = d.setdefault(part, {})
+            d[f"leaf{i}"] = arr
+        for threshold in (64, 4096, -1):
+            spec = plan_slabs(tree, threshold_bytes=threshold)
+            back = slab_unpack(slab_pack(tree, spec), spec)
+            assert jax.tree.structure(back) == jax.tree.structure(tree)
+            for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(back)):
+                assert a.dtype == b.dtype
+                np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                              np.asarray(b, np.float32))
+        # vjp check on the float leaves only (grads don't flow to ints)
+        ftree = jax.tree.map(lambda a: a.astype(jnp.float32), tree)
+        spec = plan_slabs(ftree, threshold_bytes=256)
+        unpack = make_unpack(spec)
+        g_slab = jax.grad(
+            lambda s: sum(jnp.sum(x * x) for x in jax.tree.leaves(unpack(s)))
+        )(slab_pack(ftree, spec))
+        g_tree = jax.grad(
+            lambda t: sum(jnp.sum(x * x) for x in jax.tree.leaves(t))
+        )(ftree)
+        expect = slab_pack(g_tree, spec)
+        for a, b in zip(jax.tree.leaves(g_slab), jax.tree.leaves(expect)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

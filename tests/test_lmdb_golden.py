@@ -239,3 +239,52 @@ class TestPageSize:
         for name, r in _readers(path, native_so):
             assert r.get(b"key8k") == b"val8k", name
             assert r.get(b"key8k-2") == b"x" * 5000, name
+
+
+class TestUnsupportedFormats:
+    def test_leaf2_page_rejected_not_misparsed(self, tmp_path, native_so):
+        """LEAF2 (fixed-size-key) pages are out of scope for both readers
+        (detectron.lmdb never uses them): a lookup touching one must fail
+        CLEANLY — an exception or a miss — never return garbage bytes."""
+        P_LEAF2_FLAGS = P_LEAF | 0x20  # spec: P_LEAF2 = 0x20
+        # LEAF2 pages pack raw fixed-width keys with NO node headers — any
+        # node-header interpretation of these bytes is a misparse
+        body = bytearray(4096)
+        body[0:16] = struct.pack("<QHHHH", 2, 0, P_LEAF2_FLAGS, 16 + 2, 4096)
+        path = _write(tmp_path, "leaf2.mdb", [
+            _meta_page(0, txnid=0, root=2, depth=1, entries=1, last_pg=2),
+            _meta_page(1, txnid=1, root=2, depth=1, entries=1, last_pg=2),
+            bytes(body),
+        ])
+        for name, r in _readers(path, native_so):
+            try:
+                got = r.get(b"k")
+            except Exception:
+                continue  # clean rejection
+            assert got is None or got == b"", (name, got)
+
+    def test_truncated_file_fails_cleanly(self, tmp_path, native_so):
+        """A file cut mid-page (torn copy) must not crash the process: the
+        branch child / overflow bounds checks reject out-of-map accesses."""
+        leaf = _node_page(2, P_LEAF, [_leaf_node(b"k", b"v")])
+        full = (_meta_page(0, txnid=0, root=2, depth=1, entries=1, last_pg=2)
+                + _meta_page(1, txnid=1, root=2, depth=1, entries=1, last_pg=2)
+                + leaf)
+        path = str(tmp_path / "torn.mdb")
+        with open(path, "wb") as f:
+            f.write(full[: 2 * 4096 + 100])  # leaf page torn off
+        import pytest as _pytest
+
+        for name, opener in (
+            ("python", lambda: PythonLMDBReader(path)),
+            ("native", lambda: NativeLMDBReader(path, native_so)),
+        ):
+            try:
+                r = opener()
+            except Exception:
+                continue  # rejecting at open is fine
+            try:
+                got = r.get(b"k")
+            except Exception:
+                continue
+            assert got is None or got == b"v"[: len(got)], (name, got)

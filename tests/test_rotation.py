@@ -196,3 +196,44 @@ def test_double_buffer_uploads_each_shard_once_per_epoch(monkeypatch):
     # one device_put per field per shard — the double-buffer prefetch is
     # consumed, never thrown away and re-uploaded
     assert calls["n"] == r.num_shards * n_fields, (calls["n"], r.num_shards)
+
+
+def test_rotation_resume_continues_trajectory(tmp_path):
+    """device_cache_max_bytes + resume: an interrupted capped run resumed
+    with the remaining epoch budget reproduces the uninterrupted capped run
+    (the rotation schedule is epoch-keyed, so resume re-enters it exactly)."""
+    cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False,
+                              v_feature_size=32)
+    model = ViLBERTForClassification(cfg)
+    ds = _dataset(32)
+    fields, _ = tensorise_host(ds, jnp.float32)
+    cap = int(dataset_nbytes(fields) * 2 / 3)
+    batch0 = {k: np.stack([ds.get(i)[k] for i in range(2)]) for k in ds.get(0)}
+    params0 = jax.tree.map(
+        np.asarray, model.init(jax.random.key(0), **model_inputs(batch0))["params"])
+
+    def run(ckpt_dir, num_epochs, resume=False):
+        # constant LR after warmup: total_steps then doesn't enter the
+        # schedule, so the interrupted and uninterrupted runs share the
+        # exact trajectory (no decay-horizon artifact)
+        tcfg = TrainingConfig(batch_size=4, num_epochs=num_epochs,
+                              learning_rate=5e-4, warmup_steps=3,
+                              use_linear_decay=False,
+                              early_stopping_patience=50, mesh_shape=(1, 1),
+                              checkpoint_dir=ckpt_dir,
+                              device_cache_max_bytes=cap)
+        ex = ExperimentConfig(name="rr", model=cfg, training=tcfg,
+                              data=DataConfig())
+        trainer = Trainer(model, ex, checkpoint_dir=ckpt_dir)
+        _s, hist = trainer.fit_device_resident(
+            ds, ds, jax.tree.map(np.copy, params0), resume=resume)
+        return hist
+
+    h_once = run(str(tmp_path / "a"), num_epochs=4)
+    run(str(tmp_path / "b"), num_epochs=2)
+    h_res = run(str(tmp_path / "b"), num_epochs=4, resume=True)
+    assert len(h_res["train_loss"]) == 4
+    np.testing.assert_allclose(h_res["train_loss"], h_once["train_loss"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(h_res["val_auroc"], h_once["val_auroc"],
+                               rtol=1e-5)
