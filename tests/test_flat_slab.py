@@ -259,6 +259,55 @@ def test_trainer_flat_slab_end_to_end_and_ckpt_interchange(tmp_path):
     assert len(hist3["train_loss"]) == 4
 
 
+def test_trainer_flat_slab_freeze_ablation_fallback(tmp_path):
+    """A freeze ablation config that inherits ``flat_slab: true`` from the
+    flagship training block must auto-fall-back to the per-leaf optimizer
+    (multi_transform's freeze labels are per-leaf) instead of raising — and
+    the frozen leaves must actually stay frozen (train.py round-5 fallback)."""
+    from multimodal_classification_tpu.config import (
+        DataConfig, ExperimentConfig, TrainingConfig,
+    )
+    from multimodal_classification_tpu.training.train import Trainer
+    from tests.test_device_cache import _dataset
+
+    cfg = tiny_vilbert_config(dtype="float32", use_pallas_attention=False,
+                              v_feature_size=32)
+    model = ViLBERTForClassification(cfg)
+    ds = _dataset(16)
+    batch0 = {k: np.stack([ds.get(i)[k] for i in range(2)]) for k in ds.get(0)}
+    params0 = jax.tree.map(
+        np.asarray, model.init(jax.random.key(0), **model_inputs(batch0))["params"])
+
+    tcfg = TrainingConfig(batch_size=8, num_epochs=1, learning_rate=5e-4,
+                          warmup_steps=2, early_stopping_patience=50,
+                          mesh_shape=(1, 1),
+                          checkpoint_dir=str(tmp_path), flat_slab=True)
+    ex = ExperimentConfig(name="fs_freeze", model=cfg, training=tcfg,
+                          data=DataConfig(), freeze_bert_layers=1)
+    trainer = Trainer(model, ex, checkpoint_dir=str(tmp_path))
+    state, hist = trainer.fit_device_resident(
+        ds, ds, jax.tree.map(np.copy, params0), resume=False)
+    assert np.isfinite(hist["train_loss"]).all()
+
+    # frozen subtrees (embeddings + text layer_0) are bit-unchanged; at
+    # least one trainable leaf moved
+    out = jax.tree.map(np.asarray, state.params)
+    from multimodal_classification_tpu.training.train import freeze_labels
+    labels = freeze_labels(params0, 1)
+    moved = 0
+    for (pa, a), (_pb, b), (_pl, lab) in zip(
+            jax.tree_util.tree_flatten_with_path(params0)[0],
+            jax.tree_util.tree_flatten_with_path(out)[0],
+            jax.tree_util.tree_flatten_with_path(labels)[0]):
+        if lab == "freeze":
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"frozen leaf changed: {jax.tree_util.keystr(pa)}")
+        elif not np.array_equal(np.asarray(a), np.asarray(b)):
+            moved += 1
+    assert moved > 0
+
+
 def test_fuzz_random_trees_round_trip_and_vjp():
     """Randomized structures: nested dicts with mixed dtypes/shapes must
     round-trip bit-exactly at every threshold, and the custom-vjp backward
